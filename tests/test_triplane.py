@@ -1,0 +1,89 @@
+import numpy as np
+import torch
+import torch.nn.functional as F
+import jax.numpy as jnp
+
+from audio_motion_avatar_tpu.ops import triplane as T
+
+
+def test_grid_sample_matches_torch():
+    """Bit-compat check against F.grid_sample(align_corners=False, zeros)."""
+    rng = np.random.RandomState(0)
+    feat = rng.randn(5, 8, 9).astype(np.float32)  # C,H,W
+    grid = (rng.rand(50, 2).astype(np.float32) * 2.4 - 1.2)  # includes out-of-range
+
+    ours = np.asarray(T.grid_sample_2d(jnp.asarray(feat), jnp.asarray(grid)))
+
+    tfeat = torch.from_numpy(feat)[None]
+    tgrid = torch.from_numpy(grid)[None, None]  # (1,1,N,2)
+    ref = F.grid_sample(tfeat, tgrid, align_corners=False, mode="bilinear",
+                        padding_mode="zeros")[0, :, 0].T.numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_sample_triplane_matches_reference_composition():
+    """sample_triplane == the reference's stacked grid_sample over 3 planes
+    (renderer.py:292-317)."""
+    rng = np.random.RandomState(1)
+    B, C, R, N = 2, 4, 16, 37
+    planes = rng.randn(B, 3, C, R, R).astype(np.float32)
+    pts = (rng.rand(B, N, 3).astype(np.float32) * 2 - 1) * 1.4
+    radius = 1.4
+
+    ours = np.asarray(T.sample_triplane(jnp.asarray(planes), jnp.asarray(pts), radius))
+
+    pos = np.clip(pts / radius, -1, 1)
+    grids = np.stack([pos[..., [0, 1]], pos[..., [0, 2]], pos[..., [1, 2]]], axis=1)  # B,3,N,2
+    tp = torch.from_numpy(planes.reshape(B * 3, C, R, R))
+    tg = torch.from_numpy(grids.reshape(B * 3, 1, N, 2))
+    ref = F.grid_sample(tp, tg, align_corners=False, mode="bilinear")
+    ref = ref.reshape(B, 3, C, N).permute(0, 3, 1, 2).reshape(B, N, 3 * C).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_scatter_mean_plane():
+    vals = jnp.asarray([[[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]]])  # B=1,N=3,C=2
+    idx = jnp.asarray([[0, 0, 5]])  # two points in cell 0, one in cell 5
+    plane = np.asarray(T.scatter_mean_plane(vals, idx, resolution=4))
+    assert plane.shape == (1, 2, 4, 4)
+    # cell 0 -> row 0 col 0: mean of [1,2],[3,4] = [2,3]
+    np.testing.assert_allclose(plane[0, :, 0, 0], [2.0, 3.0])
+    # cell 5 = col 1 + 4*row 1
+    np.testing.assert_allclose(plane[0, :, 1, 1], [5.0, 6.0])
+    # empty cells zero
+    assert plane[0, :, 3, 3].sum() == 0
+
+
+def test_pool_local_max():
+    # two points share the same cell on every plane -> both get elementwise max
+    pts = jnp.asarray([[[0.01, 0.01, 0.01], [0.012, 0.012, 0.012], [1.0, 1.0, 1.0]]])
+    idx3 = T.plane_cell_index(pts, radius=1.4, resolution=8)
+    vals = jnp.asarray([[[1.0, 5.0], [2.0, 3.0], [9.0, 9.0]]])
+    pooled = np.asarray(T.pool_local_max(vals, idx3, resolution=8))
+    # points 0,1 pooled together on all 3 planes: max=[2,5] summed x3
+    np.testing.assert_allclose(pooled[0, 0], [6.0, 15.0])
+    np.testing.assert_allclose(pooled[0, 1], [6.0, 15.0])
+    np.testing.assert_allclose(pooled[0, 2], [27.0, 27.0])
+
+
+def test_plane_cell_index_consistent_with_sampling_axes():
+    """Scatter a point's feature, then sample at the same point: the value
+    must come back (up to bilinear spreading) — checks x/y (col/row) layout
+    agreement between encoder scatter and renderer sampling."""
+    R = 32
+    radius = 1.4
+    pt = np.asarray([[[0.7, -0.3, 0.2]]], np.float32)
+    val = jnp.asarray([[[1.0]]])
+    planes = T.build_triplanes(val, jnp.asarray(pt), radius, R)  # (1,3,1,R,R)
+    sampled = np.asarray(T.sample_triplane(planes, jnp.asarray(pt), radius))
+    # Each plane's bilinear read at the scatter location must be > 0.
+    assert (sampled[0, 0] > 0.05).all(), sampled
+
+
+def test_tokens_planes_roundtrip():
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 7, 5, 3 * 4 * 4).astype(np.float32))  # B,T,C,S
+    planes = T.tokens_to_planes(x, 4)
+    assert planes.shape == (2, 7, 3, 5, 4, 4)
+    back = T.planes_to_tokens(planes)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x))
