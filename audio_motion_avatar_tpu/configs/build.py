@@ -1,0 +1,81 @@
+"""Config tree -> static model/optimizer configs."""
+
+from __future__ import annotations
+
+from ..models.config import AvatarConfig
+from ..training.train_state import OptimConfig
+from .loader import Config, ConfigLoader
+
+
+def build_avatar_config(cfg: Config) -> AvatarConfig:
+    """Map the merged YAML tree onto the static AvatarConfig dataclass."""
+    if cfg.get("profile") == "tiny":
+        base = AvatarConfig.tiny(image_size=tuple(cfg.dataset.image_size))
+        return base
+
+    m = cfg.model
+    tn = m.triplane_net
+    rd = m.renderer
+    se = m.sapiens_encoder
+    an = m.get("triplane_audio_net", {})
+    ds = cfg.dataset
+    return AvatarConfig(
+        triplane_resolution=tn.triplane_resolution,
+        triplane_feature_dim=tn.triplane_feature_dim,
+        radius=tn.radius,
+        smpl_token_len=tn.smpl_token_len,
+        smpl_token_dim=tn.smpl_token_dim,
+        smplx_transformer_layers=tn.smplx_transformer_layers,
+        smplx_transformer_head_dim=tn.smplx_transformer_head_dim,
+        smplx_transformer_num_heads=tn.smplx_transformer_num_heads,
+        cross_transformer_layers=tn.cross_transformer_layers,
+        cross_transformer_head_dim=tn.cross_transformer_head_dim,
+        cross_transformer_num_heads=tn.cross_transformer_num_heads,
+        sample_feature=tn.sample_feature,
+        predict_smplx_params=tn.predict_smplx_params,
+        upsample_triplane_encoder=tn.get("upsample_triplane", False),
+        upsample_triplane=rd.upsample_triplane,
+        num_upsample_blocks=rd.num_upsample_blocks,
+        densify_smplx_verts=rd.densify_smplx_verts,
+        subdivide_steps=rd.subdivide_steps,
+        no_point_refiner=rd.get("no_point_refiner", False),
+        image_size=tuple(ds.image_size),
+        rgb=rd.get("rgb", True),
+        max_per_tile=rd.get("max_per_tile", 512),
+        image_feature_dim=se.image_feature_dim,
+        vit_depth=se.get("vit_depth", 40),
+        vit_heads=se.get("vit_heads", 24),
+        vit_patch=se.get("vit_patch", 16),
+        sapiens_resolution=se.get("sapiens_resolution", 1024),
+        flat_hand_mean=ds.flat_hand_mean,
+        num_expression_coeffs=ds.num_expression_coeffs,
+        smplx_model_path=tn.get("smplx_model_path"),
+        triplane_input_frames=an.get("triplane_input_frames", 2),
+        triplane_output_frames=an.get("triplane_output_frames", 6),
+        audio_transformer_layers=an.get("transformer_layers", 8),
+        audio_transformer_head_dim=an.get("transformer_head_dim", 64),
+        audio_transformer_num_heads=an.get("transformer_num_heads", 8),
+        audio_feature_dim=an.get("audio_feature_dim", 768),
+        ptv3_enc_channels=tuple(m.ptv3_encoder.enc_channels),
+        ptv3_enc_depths=tuple(m.ptv3_encoder.enc_depths),
+        ptv3_enc_heads=tuple(m.ptv3_encoder.enc_num_head),
+        ptv3_dec_channels=tuple(m.ptv3_encoder.dec_channels),
+        ptv3_dec_depths=tuple(m.ptv3_encoder.dec_depths),
+        ptv3_dec_heads=tuple(m.ptv3_encoder.dec_num_head),
+        ptv3_patch_size=m.ptv3_encoder.enc_patch_size[0],
+        ptv3_grid_resolution=m.ptv3_encoder.grid_resolution,
+        ptv3_output_dim=m.ptv3_encoder.output_dim,
+    )
+
+
+def build_optim_config(cfg: Config) -> OptimConfig:
+    t = cfg.training
+    return OptimConfig(
+        learning_rate=float(t.learning_rate),
+        total_steps=int(t.total_steps),
+        end_factor=float(t.scheduler.get("end_factor", 0.01)),
+        betas=tuple(t.optimizer.get("betas", (0.9, 0.999))),
+        weight_decay=float(t.optimizer.get("weight_decay", 0.0)),
+        grad_clip=float(t.get("gradient_clip_val", 1.0)),
+        accumulate_steps=int(t.get("gradient_accumulate_steps", 1)),
+    )

@@ -1,0 +1,44 @@
+"""Dataset factory.
+
+Type-switch + loader construction equivalent to the reference DatasetFactory
+(reference: src/datasets/dataset_factory.py:36-137): train split uses
+training.batch_size + shuffle, eval splits use batch 1.
+"""
+
+from __future__ import annotations
+
+from .synthetic import SyntheticDataset
+
+
+class DatasetFactory:
+    @staticmethod
+    def create_dataset(cfg, split: str = "train"):
+        dtype = cfg.dataset.get("type", "SyntheticDataset")
+        if dtype == "SyntheticDataset":
+            ds_cfg = cfg.dataset
+            return SyntheticDataset(
+                length=int(ds_cfg.get("length", 8)),
+                batch_size=int(cfg.training.batch_size) if split == "train" else 1,
+                ref_frames=int(ds_cfg.get("ref_frames", 2)),
+                target_frames=int(ds_cfg.get("target_frames", 6)),
+                image_size=tuple(ds_cfg.image_size),
+                with_audio=cfg.get("dataset_type") == "ted_driven",
+                audio_dim=int(ds_cfg.get("audio_feature_dim", 768)),
+                seed=0 if split == "train" else 10_000,
+            )
+        if dtype == "ThumanDataset":
+            from .thuman import ThumanDataset
+            return ThumanDataset(cfg, split)
+        if dtype == "IDOLDataset":
+            from .idol import AvatarDataset
+            return AvatarDataset(cfg, split)
+        if dtype == "GaussianAudioDataset":
+            from .speech import GaussianAudioDataset
+            return GaussianAudioDataset(cfg, split)
+        raise ValueError(f"Unknown dataset type: {dtype}")
+
+    @staticmethod
+    def create_dataloader(cfg, split: str = "train"):
+        """Datasets here ARE iterables of collated (ref, target, id) batches;
+        host-side prefetch/shuffle live inside each dataset class."""
+        return DatasetFactory.create_dataset(cfg, split)

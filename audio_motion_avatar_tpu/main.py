@@ -1,0 +1,132 @@
+"""Stage-1 CLI — train / test / predict the human-representation model.
+
+Interface parity with the reference entry (reference: src/main.py):
+  python -m audio_motion_avatar_tpu.main --config <yaml> --mode train|test|predict \
+      [--checkpoint ckpt] [--resume] [overrides a.b=c ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Stage 1: triplane avatar reconstruction")
+    p.add_argument("--config", type=str,
+                   default=os.path.join(os.path.dirname(__file__), "configs",
+                                        "config_stage_1.yaml"))
+    p.add_argument("--mode", type=str, default="train",
+                   choices=["train", "test", "predict"])
+    p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("overrides", nargs="*", help="dotted config overrides a.b=c")
+    return p.parse_args(argv)
+
+
+def setup_output_dirs(cfg):
+    out = cfg.training.output_dir
+    for sub in ("checkpoints", "train_images", "test_images", "target_images"):
+        os.makedirs(os.path.join(out, sub), exist_ok=True)
+    import yaml
+    with open(os.path.join(out, "config.yaml"), "w") as f:
+        yaml.safe_dump(cfg.to_dict(), f)
+    return out
+
+
+def build_everything(cfg):
+    """Config -> (model, statics, avatar_cfg). Shared with main2."""
+    import jax
+    from .configs.build import build_avatar_config
+    from .models.avatar import TriplaneGaussianAvatar
+    from .models.renderer import build_renderer_statics
+    from .ops import smplx as smplx_ops
+
+    ac = build_avatar_config(cfg)
+    smplx_path = ac.smplx_model_path
+    if smplx_path and os.path.exists(str(smplx_path)):
+        smplx_model = smplx_ops.load_model(str(smplx_path),
+                                           num_expr=ac.num_expression_coeffs)
+    else:
+        nv = 400 if cfg.get("profile") == "tiny" else smplx_ops.SMPLX_NUM_VERTS
+        smplx_model = smplx_ops.synthetic_model(seed=0, num_verts=nv)
+        print("[main] SMPLX asset not found -> synthetic body model "
+              f"({nv} verts). Set model.triplane_net.smplx_model_path for parity.")
+
+    statics = build_renderer_statics(smplx_model,
+                                     subdivide_steps=ac.subdivide_steps,
+                                     densify=ac.densify_smplx_verts)
+    nverts_enc = int(smplx_model.v_template.shape[0]) + \
+        int(np.asarray(smplx_model.faces).shape[0])
+
+    point_refiner = None
+    if not ac.no_point_refiner:
+        from .models.ptv3 import build_point_refiner
+        point_refiner = build_point_refiner(ac)
+
+    model = TriplaneGaussianAvatar(cfg=ac, num_verts_encoder=nverts_enc,
+                                   point_refiner=point_refiner)
+    return model, statics, ac
+
+
+def init_state(model, statics, cfg, ac, seed=0):
+    import jax
+    import jax.numpy as jnp
+    from .configs.build import build_optim_config
+    from .data.synthetic import make_batch
+    from .parallel.mesh import unbox
+    from .training.train_state import TrainState, make_optimizer
+
+    H, W = ac.image_size
+    b = make_batch(1, 1, (H, W), seed=seed, num_expr=ac.num_expression_coeffs)
+    variables = model.init(jax.random.PRNGKey(seed), statics,
+                           jnp.asarray(b.video), b.smpl_parms,
+                           {k: jnp.asarray(v) for k, v in b.cam_parms.items()})
+    params = unbox(variables)["params"]
+    tx = make_optimizer(build_optim_config(cfg))
+    return TrainState.create(params, tx)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from .configs import ConfigLoader
+    cfg = ConfigLoader.load_config(args.config, args.overrides)
+
+    seed = int(cfg.get("seed", 42))
+    np.random.seed(seed)
+    setup_output_dirs(cfg)
+
+    model, statics, ac = build_everything(cfg)
+    state = init_state(model, statics, cfg, ac, seed=seed)
+
+    from .data.factory import DatasetFactory
+    train_data = DatasetFactory.create_dataloader(cfg, split="train")
+    val_data = DatasetFactory.create_dataloader(cfg, split="val")
+
+    from .training import stage1
+    from .training.trainer import Trainer
+    train_step = stage1.make_train_step(model, statics, ac)
+    eval_step = stage1.make_eval_step(model, statics, ac)
+    trainer = Trainer(cfg, train_step, eval_step)
+
+    if args.checkpoint:
+        from .training.checkpoints import CheckpointManager
+        mgr = CheckpointManager(args.checkpoint) if os.path.isdir(args.checkpoint) \
+            else None
+        if mgr is not None:
+            state, ok = mgr.restore(state)
+            print(f"[main] checkpoint restore: {'ok' if ok else 'none found'}")
+
+    if args.mode == "train":
+        trainer.fit(state, train_data, val_data, resume=args.resume)
+    elif args.mode in ("test", "predict"):
+        metrics = trainer.validate(state, val_data or train_data)
+        print("[main] eval:", {k: round(v, 5) for k, v in metrics.items()})
+    print("[main] done.")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,109 @@
+"""Static model configuration.
+
+One frozen dataclass carries every architecture knob (the flattened
+model-config namespace the reference builds in
+ConfigLoader.create_model_config, config_loader.py:189-235). Values default
+to the reference YAML tree (src/configs/model/*.yaml). `tiny()` is the
+scaled-down profile used by unit tests and CI-sized smoke runs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class AvatarConfig:
+    # triplane_net.yaml
+    triplane_resolution: int = 32
+    triplane_feature_dim: int = 256
+    radius: float = 1.4
+    smpl_token_len: int = 80
+    smpl_token_dim: int = 256
+    smplx_transformer_layers: int = 4
+    smplx_transformer_head_dim: int = 64
+    smplx_transformer_num_heads: int = 8
+    cross_transformer_layers: int = 8
+    cross_transformer_head_dim: int = 64
+    cross_transformer_num_heads: int = 8
+    sample_feature: bool = True
+    predict_smplx_params: bool = True
+    upsample_triplane_encoder: bool = False   # triplane_net.yaml upsample_triplane
+    # renderer.yaml
+    upsample_triplane: bool = True
+    num_upsample_blocks: int = 4
+    densify_smplx_verts: bool = True
+    subdivide_steps: int = 2
+    no_point_refiner: bool = False
+    image_size: Tuple[int, int] = (1024, 1024)   # (H, W)
+    rgb: bool = True
+    max_per_tile: int = 512
+    # sapiens_encoder.yaml
+    image_feature_dim: int = 1536
+    vit_depth: int = 40
+    vit_heads: int = 24
+    vit_patch: int = 16
+    sapiens_resolution: int = 1024
+    # dataset-coupled
+    flat_hand_mean: bool = False
+    num_expression_coeffs: int = 10
+    smplx_model_path: Optional[str] = None
+    # triplane_audio_net.yaml
+    triplane_input_frames: int = 2
+    triplane_output_frames: int = 6
+    audio_transformer_layers: int = 8
+    audio_transformer_head_dim: int = 64
+    audio_transformer_num_heads: int = 8
+    audio_feature_dim: int = 768
+    # ptv3_encoder.yaml
+    ptv3_enc_channels: Tuple[int, ...] = (32, 64, 128, 256, 512)
+    ptv3_enc_depths: Tuple[int, ...] = (2, 2, 2, 6, 2)
+    ptv3_enc_heads: Tuple[int, ...] = (2, 4, 8, 16, 32)
+    ptv3_dec_channels: Tuple[int, ...] = (256, 128, 256, 512)
+    ptv3_dec_depths: Tuple[int, ...] = (2, 2, 2, 2)
+    ptv3_dec_heads: Tuple[int, ...] = (4, 4, 8, 16)
+    ptv3_patch_size: int = 512
+    ptv3_grid_resolution: int = 100
+    ptv3_output_dim: int = 256
+
+    @classmethod
+    def default(cls) -> "AvatarConfig":
+        return cls()
+
+    @classmethod
+    def tiny(cls, image_size=(64, 64)) -> "AvatarConfig":
+        """Small-everything profile: same topology, toy widths/depths."""
+        return cls(
+            triplane_resolution=8,
+            triplane_feature_dim=32,
+            smpl_token_len=8,
+            smpl_token_dim=32,
+            smplx_transformer_layers=1,
+            smplx_transformer_head_dim=8,
+            smplx_transformer_num_heads=2,
+            cross_transformer_layers=1,
+            cross_transformer_head_dim=8,
+            cross_transformer_num_heads=2,
+            num_upsample_blocks=1,
+            subdivide_steps=0,
+            image_size=image_size,
+            image_feature_dim=48,
+            vit_depth=1,
+            vit_heads=2,
+            vit_patch=8,
+            sapiens_resolution=64,
+            audio_transformer_layers=1,
+            audio_transformer_head_dim=8,
+            audio_transformer_num_heads=2,
+            audio_feature_dim=16,
+            ptv3_enc_channels=(16, 32),
+            ptv3_enc_depths=(1, 1),
+            ptv3_enc_heads=(2, 4),
+            ptv3_dec_channels=(16,),
+            ptv3_dec_depths=(1,),
+            ptv3_dec_heads=(2,),
+            ptv3_patch_size=64,
+            ptv3_output_dim=256,
+            max_per_tile=128,
+        )

@@ -1,0 +1,139 @@
+"""Image encoder stack: Sapiens-style frozen ViT + per-pixel feature pyramid.
+
+Replaces the reference's TorchScript Sapiens-1B wrapper + ImageFeature
+(reference: src/models/image_feature.py:129-275). TorchScript cannot run on
+TPU, so the ViT architecture is re-implemented in flax with the Sapiens-1B
+geometry (patch 16, 1024x1024 -> 64x64 tokens, width 1536) and a weight
+import hook (training/torch_import.py) for the released checkpoint; tests
+and the synthetic pipeline run a scaled-down config behind the same
+interface. The module is FROZEN by design, exactly like the reference
+(image_feature.py:223-227) — its params live in a separate 'frozen'
+collection partition and are excluded from checkpoints (see
+training/checkpoints.py), mirroring on_save_checkpoint key-stripping
+(lightning_model_wrapper.py:75-80).
+
+Preprocessing (image_feature.py:176-206): pad to square with value 1,
+resize to encoder resolution (bilinear here; the reference uses bicubic —
+documented deviation, frozen-encoder inputs only), normalize with the
+Sapiens mean/std.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+SAPIENS_MEAN = (0.4844, 0.4570, 0.4062)
+SAPIENS_STD = (0.2295, 0.2236, 0.2256)
+
+
+class ViTBlock(nn.Module):
+    width: int
+    heads: int
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.LayerNorm(name="ln1")(x)
+        h = nn.MultiHeadDotProductAttention(num_heads=self.heads,
+                                            name="attn")(h, h)
+        x = x + h
+        h = nn.LayerNorm(name="ln2")(x)
+        h = nn.Dense(self.width * 4, name="mlp1")(h)
+        h = nn.gelu(h)
+        h = nn.Dense(self.width, name="mlp2")(h)
+        return x + h
+
+
+class VisionTransformer(nn.Module):
+    """Plain ViT: patch embed + learned pos emb + N blocks + final LN.
+
+    Sapiens-1B geometry: width=1536, depth=40, heads=24, patch=16.
+    """
+
+    width: int = 1536
+    depth: int = 40
+    heads: int = 24
+    patch: int = 16
+    resolution: int = 1024
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
+        """images: (B, 3, H, W) preprocessed -> (B, (H/p)*(W/p), width)."""
+        x = images.transpose(0, 2, 3, 1)  # NHWC
+        x = nn.Conv(self.width, (self.patch, self.patch),
+                    strides=(self.patch, self.patch), name="patch_embed")(x)
+        B, gh, gw, C = x.shape
+        x = x.reshape(B, gh * gw, C)
+        pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                         (1, (self.resolution // self.patch) ** 2, self.width))
+        x = x + pos[:, : gh * gw]
+        for i in range(self.depth):
+            x = ViTBlock(self.width, self.heads, name=f"block_{i}")(x)
+        return nn.LayerNorm(name="ln_final")(x)
+
+
+def preprocess(images: jnp.ndarray, resolution: int) -> jnp.ndarray:
+    """Pad-to-square (value 1) + resize + Sapiens-normalize.
+
+    images: (B, 3, H, W) in [0, 1].
+    """
+    B, C, H, W = images.shape
+    m = max(H, W)
+    ph, pw = m - H, m - W
+    images = jnp.pad(images,
+                     ((0, 0), (0, 0), (ph // 2, m - H - ph // 2),
+                      (pw // 2, m - W - pw // 2)),
+                     constant_values=1.0)
+    images = jax.image.resize(images, (B, C, resolution, resolution),
+                              method="bilinear")
+    mean = jnp.asarray(SAPIENS_MEAN).reshape(1, 3, 1, 1)
+    std = jnp.asarray(SAPIENS_STD).reshape(1, 3, 1, 1)
+    return (images - mean) / std
+
+
+class SapiensEncoder(nn.Module):
+    """Frozen patch-token encoder behind the SapiensWrapper interface
+    (image_feature.py:229-252): (B, 3, H, W) [0,1] -> (B, S, width)."""
+
+    width: int = 1536
+    depth: int = 40
+    heads: int = 24
+    patch: int = 16
+    resolution: int = 1024
+    compute_dtype: jnp.dtype = jnp.bfloat16  # reference runs bf16 autocast
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
+        x = preprocess(images, self.resolution).astype(self.compute_dtype)
+        vit = VisionTransformer(self.width, self.depth, self.heads, self.patch,
+                                self.resolution, name="vit")
+        tokens = vit(x)
+        # Frozen: no gradient flows into (or out of) the encoder params.
+        return jax.lax.stop_gradient(tokens.astype(jnp.float32))
+
+
+class ImageFeature(nn.Module):
+    """Per-pixel feature pyramid (image_feature.py:257-275): tokens ->
+    Linear(width -> 128-3) -> 64x64 map -> bilinear to image res -> concat RGB.
+    """
+
+    token_dim: int = 1536
+    out_dim: int = 128
+
+    @nn.compact
+    def __call__(self, rgb: jnp.ndarray, tokens: jnp.ndarray) -> jnp.ndarray:
+        """rgb: (B, T, 3, H, W); tokens: (B, T, S, C). Returns (B, T, out, H, W)."""
+        B, T, _, H, W = rgb.shape
+        S = tokens.shape[2]
+        g = int(round(S ** 0.5))
+        feat = nn.Dense(self.out_dim - 3, name="feature_reducer")(tokens)
+        feat = feat.reshape(B * T, g, g, self.out_dim - 3)
+        feat = jax.image.resize(feat, (B * T, H, W, self.out_dim - 3),
+                                method="bilinear")
+        feat = feat.transpose(0, 3, 1, 2)
+        rgbf = rgb.reshape(B * T, 3, H, W)
+        out = jnp.concatenate([rgbf, feat], axis=1)
+        return out.reshape(B, T, self.out_dim, H, W)

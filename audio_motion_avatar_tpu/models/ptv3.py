@@ -1,0 +1,241 @@
+"""PointTransformer-V3-style point encoder, redesigned for TPU.
+
+Replaces the vendored Pointcept PTv3 + spconv + flash-attn stack the
+reference uses as its Gaussian point refiner (reference:
+src/models/point_transformer/pointtransformer_v3.py, point_encoder.py).
+
+What is kept from the PTv3 design:
+  * space-filling-curve serialization (z / z-trans / hilbert / hilbert-trans,
+    ops/serialization.py) with the order alternating across blocks — the
+    reference's order-shuffle trick (pointtransformer_v3.py:81-145);
+  * patch attention: dense MHA inside groups of `patch_size` consecutive
+    points along the curve (the enable_flash=false dense path,
+    :467-483 — which is exactly an (G, P, C) batched attention, i.e. the
+    MXU-native formulation);
+  * U-Net encoder/decoder with pooling on the serialized order and skip
+    connections (:618-759).
+
+TPU-first redesigns (all static-shape; documented deviations):
+  * sparse-conv CPE (spconv SubMConv3d, :555-561) -> depthwise conv along
+    the serialized sequence (window 3). Curve locality makes serial
+    neighbors spatial neighbors, and the op is a static depthwise conv
+    instead of a hash-gather sparse conv.
+  * SerializedPooling's dynamic grid merge (code >> bits, dynamic counts)
+    -> fixed-window (4) max pooling over the curve order: constant 4x
+    reduction, static shapes at every stage. Unpooling broadcasts parents
+    back to their window + skip connection.
+  * point counts are padded once to a multiple of patch_size * 4^depth and
+    masked; padding never attends to real points.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops import serialization as ser
+
+POOL_WINDOW = 4
+
+
+class SerialBlock(nn.Module):
+    """xCPE (depthwise serial conv) + patch attention + MLP, pre-LN."""
+
+    dim: int
+    heads: int
+    patch_size: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+        """x: (N, C) curve-ordered; mask: (N,) bool valid."""
+        N, C = x.shape
+        # xCPE: depthwise conv window 3 along the curve (replaces spconv CPE).
+        h = nn.Conv(self.dim, kernel_size=(3,), feature_group_count=self.dim,
+                    name="cpe")(x[None])[0]
+        x = x + h * mask[:, None]
+
+        # Patch attention.
+        p = min(self.patch_size, N)
+        g = N // p
+        h = nn.LayerNorm(name="ln1")(x)
+        hq = h.reshape(g, p, C)
+        attn_mask = mask.reshape(g, 1, 1, p)  # (G, 1, 1, P_keys), True=attend
+        attn_mask = jnp.broadcast_to(attn_mask, (g, 1, p, p))
+        attn = nn.MultiHeadDotProductAttention(
+            num_heads=self.heads, name="attn")(hq, hq, mask=attn_mask)
+        x = x + attn.reshape(N, C) * mask[:, None]
+
+        h = nn.LayerNorm(name="ln2")(x)
+        h = nn.Dense(self.dim * 4, name="mlp1")(h)
+        h = nn.gelu(h)
+        h = nn.Dense(self.dim, name="mlp2")(h)
+        return x + h * mask[:, None]
+
+
+class PTv3Encoder(nn.Module):
+    """Serialized-attention point U-Net: (N, 3), (N, C_in) -> (N, out_dim)."""
+
+    in_dim: int
+    out_dim: int = 256
+    enc_channels: Tuple[int, ...] = (32, 64, 128, 256, 512)
+    enc_depths: Tuple[int, ...] = (2, 2, 2, 6, 2)
+    enc_heads: Tuple[int, ...] = (2, 4, 8, 16, 32)
+    dec_channels: Tuple[int, ...] = (256, 128, 256, 512)
+    dec_depths: Tuple[int, ...] = (2, 2, 2, 2)
+    dec_heads: Tuple[int, ...] = (4, 4, 8, 16)
+    patch_size: int = 512
+    grid_resolution: float = 100.0
+
+    @nn.compact
+    def __call__(self, points: jnp.ndarray, feats: jnp.ndarray) -> jnp.ndarray:
+        """points: (N, 3), feats: (N, C_in). Single cloud; vmap for batch."""
+        N = points.shape[0]
+        S = len(self.enc_channels)
+
+        # ---- pad to a static size divisible by patch & all poolings ----
+        unit = self.patch_size  # every stage keeps multiples of patch via repad
+        N_pad = int(np.ceil(N / unit) * unit)
+        pad = N_pad - N
+        pts = jnp.pad(points, ((0, pad), (0, 0)))
+        x = jnp.pad(feats, ((0, pad), (0, 0)))
+        mask = jnp.arange(N_pad) < N
+
+        # ---- serialization orders at input resolution ----
+        grid = ser.grid_coords(pts, self.grid_resolution)
+        orders = {}
+        for o in ser.ORDERS:
+            code = ser.encode(grid, o)
+            code = jnp.where(mask, code, jnp.int32(2 ** 30))  # padding last
+            perm = jnp.argsort(code)
+            orders[o] = (perm, jnp.argsort(perm))
+
+        x = nn.Dense(self.enc_channels[0], name="embed")(x)
+
+        def run_blocks(x, mask, stage, depths, heads, dim, prefix):
+            for b in range(depths):
+                o = ser.ORDERS[b % len(ser.ORDERS)]
+                perm, inv = stage_orders[o]
+                xs = x[perm]
+                ms = mask[perm]
+                xs = SerialBlock(dim, heads, self.patch_size,
+                                 name=f"{prefix}_b{b}")(xs, ms)
+                x = xs[inv]
+            return x
+
+        # ---- encoder ----
+        skips = []
+        cur_pts, cur_mask = pts, mask
+        stage_orders = orders
+        for s in range(S):
+            dim = self.enc_channels[s]
+            if s > 0:
+                # fixed-window pooling on the z-order curve
+                perm, _ = stage_orders["z"]
+                xs = x[perm]
+                ps = cur_pts[perm]
+                ms = cur_mask[perm]
+                n2 = xs.shape[0] // POOL_WINDOW
+                xs = nn.Dense(dim, name=f"pool{s}_proj")(xs)
+                xw = xs.reshape(n2, POOL_WINDOW, dim)
+                mw = ms.reshape(n2, POOL_WINDOW)
+                xs = jnp.max(jnp.where(mw[..., None], xw, -jnp.inf), axis=1)
+                xs = jnp.where(jnp.isfinite(xs), xs, 0.0)
+                pw = ps.reshape(n2, POOL_WINDOW, 3)
+                cnt = jnp.clip(mw.sum(-1, keepdims=True), 1)
+                cur_pts = (pw * mw[..., None]).sum(1) / cnt
+                cur_mask = mw.any(-1)
+                x = xs
+                # re-pad to a multiple of patch_size, recompute orders
+                n_next = x.shape[0]
+                n_tgt = int(np.ceil(n_next / self.patch_size) * self.patch_size) \
+                    if n_next > self.patch_size else n_next
+                if n_tgt != n_next:
+                    extra = n_tgt - n_next
+                    x = jnp.pad(x, ((0, extra), (0, 0)))
+                    cur_pts = jnp.pad(cur_pts, ((0, extra), (0, 0)))
+                    cur_mask = jnp.pad(cur_mask, (0, extra))
+                grid = ser.grid_coords(cur_pts, self.grid_resolution)
+                stage_orders = {}
+                for o in ser.ORDERS:
+                    code = ser.encode(grid, o)
+                    code = jnp.where(cur_mask, code, jnp.int32(2 ** 30))
+                    perm = jnp.argsort(code)
+                    stage_orders[o] = (perm, jnp.argsort(perm))
+            x = run_blocks(x, cur_mask, s, self.enc_depths[s],
+                           self.enc_heads[s], dim, f"enc{s}")
+            skips.append((x, cur_pts, cur_mask, stage_orders))
+
+        # ---- decoder ----
+        for d in range(S - 2, -1, -1):
+            skip_x, skip_pts, skip_mask, skip_orders = skips[d]
+            dim = self.dec_channels[d] if d < len(self.dec_channels) else skip_x.shape[-1]
+            # unpool: broadcast each parent back to its 4-window children on
+            # the z-curve of the PARENT stage construction
+            parent_n = x.shape[0]
+            child_sorted_n = skip_orders["z"][0].shape[0]
+            # children were pooled from the first parent_kept = child_n//4 groups
+            up = jnp.repeat(x, POOL_WINDOW, axis=0)[: child_sorted_n]
+            # undo the child-stage z sort
+            _, child_inv = skip_orders["z"]
+            up = up[child_inv]
+            x = nn.Dense(dim, name=f"dec{d}_proj_up")(up) + \
+                nn.Dense(dim, name=f"dec{d}_proj_skip")(skip_x)
+            stage_orders = skip_orders
+            x = run_blocks(x, skip_mask, d,
+                           self.dec_depths[d] if d < len(self.dec_depths) else 1,
+                           self.dec_heads[d] if d < len(self.dec_heads) else 4,
+                           dim, f"dec{d}")
+
+        x = nn.Dense(self.out_dim, name="head")(x)
+        return x[:N]
+
+
+class PointRefiner(nn.Module):
+    """(B, N, 3) points + (B, N, C) features -> (B, N, out_dim) — the
+    PTv3Encoder wrapper interface (reference point_encoder.py:25-39)."""
+
+    in_dim: int
+    out_dim: int = 256
+    enc_channels: Tuple[int, ...] = (32, 64, 128, 256, 512)
+    enc_depths: Tuple[int, ...] = (2, 2, 2, 6, 2)
+    enc_heads: Tuple[int, ...] = (2, 4, 8, 16, 32)
+    dec_channels: Tuple[int, ...] = (256, 128, 256, 512)
+    dec_depths: Tuple[int, ...] = (2, 2, 2, 2)
+    dec_heads: Tuple[int, ...] = (4, 4, 8, 16)
+    patch_size: int = 512
+    grid_resolution: float = 100.0
+
+    @nn.compact
+    def __call__(self, points: jnp.ndarray, feats: jnp.ndarray) -> jnp.ndarray:
+        VmappedUNet = nn.vmap(
+            PTv3Encoder,
+            in_axes=0, out_axes=0,
+            variable_axes={"params": None},
+            split_rngs={"params": False},
+        )
+        return VmappedUNet(
+            in_dim=self.in_dim, out_dim=self.out_dim,
+            enc_channels=self.enc_channels, enc_depths=self.enc_depths,
+            enc_heads=self.enc_heads, dec_channels=self.dec_channels,
+            dec_depths=self.dec_depths, dec_heads=self.dec_heads,
+            patch_size=self.patch_size, grid_resolution=self.grid_resolution,
+            name="unet")(points, feats)
+
+
+def build_point_refiner(cfg) -> PointRefiner:
+    return PointRefiner(
+        in_dim=cfg.triplane_feature_dim * 3,
+        out_dim=cfg.ptv3_output_dim,
+        enc_channels=tuple(cfg.ptv3_enc_channels),
+        enc_depths=tuple(cfg.ptv3_enc_depths),
+        enc_heads=tuple(cfg.ptv3_enc_heads),
+        dec_channels=tuple(cfg.ptv3_dec_channels),
+        dec_depths=tuple(cfg.ptv3_dec_depths),
+        dec_heads=tuple(cfg.ptv3_dec_heads),
+        patch_size=cfg.ptv3_patch_size,
+        grid_resolution=float(cfg.ptv3_grid_resolution),
+    )

@@ -1,0 +1,173 @@
+"""Renderer: triplane tokens -> 3D Gaussians -> splatted images.
+
+Functional equivalent of the reference Renderer (reference:
+src/models/renderer.py:20-346): token->plane reshape, triplane upsampling,
+SMPLX vertex generation with 2-step midpoint subdivision + fixed-count
+subselection, bilinear triplane sampling, point-refiner offsets, 5 zero-init
+Gaussian heads with the reference's exact bias init
+(renderer.py:49-71), Gaussian construction (quat-normalize, sigmoid color,
++transl — renderer.py:319-346), and batched splat rendering.
+
+TPU deltas:
+  * the per-view serial render loop (renderer.py:447-479) is a single vmap
+    over B*T cameras into the tile renderer;
+  * subdivision is static gather tables (ops/subdivision.py), the random
+    subselection is a frozen permutation;
+  * the point refiner is pluggable: any module mapping (points, feats) ->
+    per-point features; models/ptv3.py provides the serialized-attention
+    U-Net, or it can be disabled (cfg no_point_refiner).
+  * always-on debug prints / CUDA memory dumps (renderer.py:74-199) are
+    replaced by the jax.profiler hooks in utils/profiling.py.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops import smplx as smplx_ops
+from ..ops import splat, subdivision
+from ..ops.math_utils import inverse_sigmoid
+from ..ops.triplane import sample_triplane, tokens_to_planes
+from .triplane_encoder import flatten_params
+from .upsampler import TriplaneUpsampler
+
+SUBDIVIDE_VERTS = {0: 10000, 1: 30000, 2: 30000}  # renderer.py:14-18
+
+
+class RendererStatics(NamedTuple):
+    """Host-precomputed geometry constants the renderer closes over."""
+
+    smplx_model: smplx_ops.SmplxModel
+    sub_tables: Optional[subdivision.SubdivisionTables]
+    subselect: Optional[np.ndarray]   # (num_verts,) int32
+
+
+def build_renderer_statics(model: smplx_ops.SmplxModel, subdivide_steps: int = 2,
+                           densify: bool = True, seed: int = 0) -> RendererStatics:
+    if not densify:
+        return RendererStatics(model, None, None)
+    faces = np.asarray(model.faces)
+    tables = subdivision.build_subdivision(model.v_template.shape[0], faces,
+                                           subdivide_steps)
+    total = tables.num_verts[-1] if tables.num_verts else model.v_template.shape[0]
+    keep = min(SUBDIVIDE_VERTS[subdivide_steps], total)
+    sel = subdivision.fixed_subselect(total, keep, seed=seed)
+    return RendererStatics(model, tables, sel)
+
+
+class Renderer(nn.Module):
+    triplane_resolution: int = 32
+    feature_dim: int = 256
+    radius: float = 1.4
+    upsample_triplane: bool = True
+    num_upsample_blocks: int = 4
+    densify_smplx_verts: bool = True
+    subdivide_steps: int = 2
+    image_height: int = 512
+    image_width: int = 512
+    flat_hand_mean: bool = False
+    max_per_tile: int = 512
+    point_refiner: Optional[Any] = None   # module: (points, feats) -> (B,N,256)
+
+    def setup(self):
+        if self.upsample_triplane:
+            self.upsampler = TriplaneUpsampler(self.feature_dim,
+                                               self.num_upsample_blocks,
+                                               name="upsampler")
+        if self.point_refiner is not None:
+            self.refine_mlp = nn.Sequential([
+                nn.Dense(256), nn.relu,
+                nn.Dense(256), nn.relu,
+                nn.Dense(3, kernel_init=nn.initializers.zeros,
+                         bias_init=nn.initializers.zeros),
+            ])
+
+        in_dim = self.feature_dim * 3 + 3
+        zeros = nn.initializers.zeros
+
+        def bias_const(vals):
+            arr = jnp.asarray(vals, jnp.float32)
+            return lambda key, shape, dtype=jnp.float32: jnp.broadcast_to(arr, shape).astype(dtype)
+
+        # Exact reference init (renderer.py:57-71): all-zero kernels, biases
+        # xyz=0, rot=[1,0,0,0], scale=-1, opacity=inverse_sigmoid(0.1), shs=0.
+        self.xyz_layer = nn.Dense(3, kernel_init=zeros, bias_init=zeros)
+        self.rotation_layer = nn.Dense(4, kernel_init=zeros,
+                                       bias_init=bias_const([1.0, 0, 0, 0]))
+        self.scaling_layer = nn.Dense(3, kernel_init=zeros,
+                                      bias_init=bias_const([-1.0] * 3))
+        self.opacity_layer = nn.Dense(1, kernel_init=zeros,
+                                      bias_init=bias_const([inverse_sigmoid(0.1)]))
+        self.shs_layer = nn.Dense(3, kernel_init=zeros, bias_init=zeros)
+        del in_dim
+
+    def get_vertices(self, statics: RendererStatics, smpl_params: dict) -> jnp.ndarray:
+        """SMPLX forward + static densification (renderer.py:245-290)."""
+        verts = smplx_ops.forward(statics.smplx_model, smpl_params,
+                                  flat_hand_mean=self.flat_hand_mean)
+        if self.densify_smplx_verts and statics.sub_tables is not None:
+            verts = subdivision.apply_subdivision(verts, statics.sub_tables)
+            verts = jnp.take(verts, jnp.asarray(statics.subselect), axis=-2)
+        return verts
+
+    def __call__(self, statics: RendererStatics, triplane_tokens: jnp.ndarray,
+                 cam_params: dict, smpl_params: dict,
+                 render: bool = True):
+        """triplane_tokens: (B, T, C, 3*R*R); smpl_params: (B, T, ...) dict
+        (already decoded — the shared SMPLXDecoder lives in the Avatar).
+
+        Returns (rendered (B,T,H,W,3) or None, gaussians dict (BT,N,...)).
+        """
+        B, T = triplane_tokens.shape[:2]
+        BT = B * T
+        planes = tokens_to_planes(
+            triplane_tokens.reshape(BT, *triplane_tokens.shape[2:]),
+            self.triplane_resolution)  # (BT, 3, C, R, R)
+
+        if self.upsample_triplane:
+            planes = self.upsampler(planes)
+
+        flat_params = flatten_params(smpl_params)
+        points = self.get_vertices(statics, flat_params)  # (BT, N, 3)
+
+        feats = sample_triplane(planes, points, self.radius)  # (BT, N, 3C)
+
+        if self.point_refiner is not None:
+            point_feats = self.point_refiner(points, feats)
+            offsets = self.refine_mlp(point_feats)
+            points = points + offsets
+            feats = sample_triplane(planes, points, self.radius)
+
+        dec_in = jnp.concatenate([points, feats], axis=-1)
+        xyz_off = self.xyz_layer(dec_in)
+        rot = self.rotation_layer(dec_in)
+        scale = self.scaling_layer(dec_in)
+        opacity = self.opacity_layer(dec_in)
+        shs = self.shs_layer(dec_in)
+
+        # construct_gaussians (renderer.py:319-346)
+        transl = flat_params["transl"].reshape(BT, 1, 3)
+        rot = rot / jnp.clip(jnp.linalg.norm(rot, axis=-1, keepdims=True), 1e-8)
+        gaussians = {
+            "xyz": points + xyz_off + transl,
+            "scale": scale,
+            "rot": rot,
+            "opacity": opacity,
+            "color": jax.nn.sigmoid(shs),
+        }
+        gaussians["shs"] = gaussians["color"]
+
+        rendered = None
+        if render:
+            rendered = splat.render_batch(
+                {k: v.reshape((B, T) + v.shape[1:]) for k, v in gaussians.items()
+                 if k != "shs"},
+                cam_params["intrinsic"], cam_params["extrinsic"],
+                self.image_width, self.image_height,
+                max_per_tile=self.max_per_tile)
+        return rendered, gaussians

@@ -1,0 +1,102 @@
+"""Triplane up/down-samplers.
+
+Equivalents of the reference TriplaneUpsampler (renderer.py:348-417) and
+TriplaneDownsampler/ConvNeXtBlock (triplane_net.py:411-451).
+
+Deviation (documented): the reference's ResBlock uses BatchNorm2d — mutable
+running stats that are ill-posed at the reference's batch size 1 and need
+cross-replica sync under data parallelism. We use GroupNorm (stat-free,
+SPMD-clean); same normalization granularity at GN(32).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+class ResBlock(nn.Module):
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x: (B, H, W, C) channel-last (native TPU conv layout)."""
+        in_ch = x.shape[-1]
+        h = nn.GroupNorm(num_groups=32, name="norm1")(x)
+        h = nn.relu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv1")(h)
+        h = nn.GroupNorm(num_groups=32, name="norm2")(h)
+        h = nn.relu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv2")(h)
+        skip = x if in_ch == self.out_channels else nn.Conv(
+            self.out_channels, (1, 1), name="skip")(x)
+        return skip + h
+
+
+class UpsampleBlock(nn.Module):
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        up = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)  # nearest 2x
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv")(up)
+        h = nn.relu(h)
+        return ResBlock(self.out_channels, name="res")(h)
+
+
+class TriplaneUpsampler(nn.Module):
+    """N x (nearest-2x + conv + ResBlock) with a nearest-2x skip path
+    (renderer.py:377-417). 32 -> 32*2^N resolution."""
+
+    feature_dim: int = 256
+    num_blocks: int = 4
+
+    @nn.compact
+    def __call__(self, planes: jnp.ndarray) -> jnp.ndarray:
+        """planes: (B, 3, C, H, W) -> (B, 3, C, H*2^N, W*2^N)."""
+        B, P, C, H, W = planes.shape
+        x = planes.reshape(B * P, C, H, W).transpose(0, 2, 3, 1)  # NHWC
+        # The skip path is a RUNNING buffer of the input, 1x1-projected once
+        # then nearest-upsampled each step (renderer.py:390-413).
+        skip = x
+        for i in range(self.num_blocks):
+            up = UpsampleBlock(self.feature_dim, name=f"up_{i}")(x)
+            if i == 0:
+                skip = nn.Conv(self.feature_dim, (1, 1), name="skip_proj")(skip)
+            skip = jnp.repeat(jnp.repeat(skip, 2, axis=1), 2, axis=2)
+            x = up + skip
+        out = x.transpose(0, 3, 1, 2)
+        Hn, Wn = out.shape[-2:]
+        return out.reshape(B, P, C, Hn, Wn)
+
+
+class ConvNeXtBlock(nn.Module):
+    dim: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x: (B, H, W, C)."""
+        h = nn.Conv(self.dim, (7, 7), padding=3, feature_group_count=self.dim,
+                    name="dwconv")(x)
+        h = nn.LayerNorm(epsilon=1e-6, name="norm")(h)
+        h = nn.Dense(4 * self.dim, name="pw1")(h)
+        h = nn.gelu(h)
+        h = nn.Dense(self.dim, name="pw2")(h)
+        return x + h
+
+
+class TriplaneDownsampler(nn.Module):
+    feature_dim: int = 256
+    factor: int = 3
+
+    @nn.compact
+    def __call__(self, planes: jnp.ndarray) -> jnp.ndarray:
+        """planes: (B, 3, C, H, W) -> (B, 3, C, H//f, W//f)."""
+        B, P, C, H, W = planes.shape
+        x = planes.reshape(B * P, C, H, W).transpose(0, 2, 3, 1)
+        for i in range(2):
+            x = ConvNeXtBlock(self.feature_dim, name=f"block_{i}")(x)
+        x = nn.Conv(self.feature_dim, (4, 4), strides=self.factor, padding=1,
+                    name="down")(x)
+        out = x.transpose(0, 3, 1, 2)
+        return out.reshape(B, P, C, out.shape[-2], out.shape[-1])

@@ -1,0 +1,372 @@
+"""Differentiable 3D Gaussian splatting for TPU — projection + XLA renderers.
+
+TPU-native replacement for the CUDA `diff-gaussian-rasterization` extension
+(reference: src/models/renderer.py:420-569). The math reproduces the 3DGS
+EWA pipeline the CUDA kernel implements — perspective-Jacobian 2D covariance,
+conic evaluation, front-to-back alpha compositing with the 1/255 alpha floor,
+0.99 alpha ceiling and 1e-4 transmittance cutoff, white background,
+`antialiasing=False` (plain +0.3 pixel dilation) — but is organized for the
+TPU memory hierarchy instead of warp-per-pixel scheduling:
+
+  * `project_gaussians`: batched pure-JAX projection (vectorized over N).
+  * compositing is formulated as a PARALLEL prefix over depth order
+    (cumulative log-transmittance) instead of a sequential per-pixel loop —
+    w_i = alpha_i * exp(sum_{j<i} log(1-alpha_j)) — which turns the blend
+    into cumsum + one (P x K)@(K x 3) matmul per tile (MXU-friendly) and is
+    exactly differentiable.
+  * `render_tiles`: 16x16-tile binning with a static per-tile Gaussian cap
+    (depth-ordered top-K via lax.top_k) — the XLA analog of the CUDA tile
+    binning; also the numerical oracle for the Pallas kernel
+    (splat_pallas.py).
+  * `render_naive`: no binning at all (every Gaussian vs every pixel),
+    chunked; the slow gold reference for tests.
+
+Activation biases (SCALE_BIAS=3.9, OPACITY_BIAS=0.0, scale<=0.1 clamp, final
+clamp to [0,1]) follow renderer.py:428-429,532-533,568.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .cameras import Camera, make_camera
+from .rotations import quaternion_to_matrix
+
+SCALE_BIAS = 3.9
+OPACITY_BIAS = 0.0
+ALPHA_MIN = 1.0 / 255.0
+ALPHA_MAX = 0.99
+T_EPS = 1e-4
+NEAR_CULL = 0.2
+TILE = 16
+COV_DILATION = 0.3  # antialiasing=False path of the CUDA rasterizer
+
+
+class Projected(NamedTuple):
+    mean2d: jnp.ndarray   # (N, 2) pixel coords
+    conic: jnp.ndarray    # (N, 3) inverse 2D covariance (cxx, cxy, cyy)
+    depth: jnp.ndarray    # (N,) camera-space z
+    radius: jnp.ndarray   # (N,) screen-space extent (pixels)
+    opacity: jnp.ndarray  # (N,) activated opacity
+    color: jnp.ndarray    # (N, 3)
+    valid: jnp.ndarray    # (N,) bool — in front of camera & non-degenerate
+
+
+def activate_scales(raw_scales: jnp.ndarray) -> jnp.ndarray:
+    """renderer.py:532 — scale = min(exp(s - 3.9), 0.1)."""
+    return jnp.minimum(jnp.exp(raw_scales - SCALE_BIAS), 0.1)
+
+
+def activate_opacity(raw_opacity: jnp.ndarray) -> jnp.ndarray:
+    """renderer.py:533 — opacity = sigmoid(o - 0)."""
+    return jax.nn.sigmoid(raw_opacity - OPACITY_BIAS)
+
+
+def compute_cov3d(quats: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
+    """R S S^T R^T from wxyz quaternions + activated scales: (N,4),(N,3)->(N,3,3)."""
+    R = quaternion_to_matrix(quats)
+    M = R * scales[..., None, :]
+    return jnp.einsum("...ij,...kj->...ik", M, M)
+
+
+def project_gaussians(means3d: jnp.ndarray, quats: jnp.ndarray,
+                      scales_act: jnp.ndarray, opacity_act: jnp.ndarray,
+                      colors: jnp.ndarray, cam: Camera) -> Projected:
+    """EWA projection of N Gaussians through one camera (all (N, ...))."""
+    W, H = cam.width, cam.height
+    view = cam.view
+    Rv = view[:3, :3]
+    t = means3d @ Rv.T + view[:3, 3]  # camera space (N, 3)
+    tz = t[:, 2]
+
+    fx = W / (2.0 * cam.tan_fovx)
+    fy = H / (2.0 * cam.tan_fovy)
+
+    # Frustum-limited tangent-plane coords (the CUDA limx/limy clamp).
+    limx = 1.3 * cam.tan_fovx
+    limy = 1.3 * cam.tan_fovy
+    tz_safe = jnp.where(jnp.abs(tz) < 1e-6, 1e-6, tz)
+    txz = jnp.clip(t[:, 0] / tz_safe, -limx, limx)
+    tyz = jnp.clip(t[:, 1] / tz_safe, -limy, limy)
+    tx = txz * tz_safe
+    ty = tyz * tz_safe
+
+    # J @ Rv rows (only the two rows that matter after truncation):
+    # J = [[fx/tz, 0, -fx tx/tz^2], [0, fy/tz, -fy ty/tz^2]]
+    inv_z = 1.0 / tz_safe
+    j00 = fx * inv_z
+    j02 = -fx * tx * inv_z * inv_z
+    j11 = fy * inv_z
+    j12 = -fy * ty * inv_z * inv_z
+    # M = J @ Rv : (N, 2, 3)
+    M = jnp.stack(
+        [
+            j00[:, None] * Rv[0][None, :] + j02[:, None] * Rv[2][None, :],
+            j11[:, None] * Rv[1][None, :] + j12[:, None] * Rv[2][None, :],
+        ],
+        axis=1,
+    )
+    cov3d = compute_cov3d(quats, scales_act)  # (N, 3, 3)
+    cov2d = jnp.einsum("nij,njk,nlk->nil", M, cov3d, M)  # (N, 2, 2)
+    cxx = cov2d[:, 0, 0] + COV_DILATION
+    cyy = cov2d[:, 1, 1] + COV_DILATION
+    cxy = cov2d[:, 0, 1]
+
+    det = cxx * cyy - cxy * cxy
+    det_safe = jnp.where(det <= 0, 1.0, det)
+    conic = jnp.stack([cyy / det_safe, -cxy / det_safe, cxx / det_safe], axis=-1)
+
+    mid = 0.5 * (cxx + cyy)
+    lam = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    radius = jnp.ceil(3.0 * jnp.sqrt(lam))
+
+    # Pixel-space centers via the NDC projection (ndc2Pix convention).
+    full = cam.proj @ cam.view
+    ph = means3d @ full[:3, :3].T + full[:3, 3]
+    pw = means3d @ full[3, :3] + full[3, 3]
+    pw_safe = jnp.where(jnp.abs(pw) < 1e-7, 1e-7, pw)
+    ndc = ph[:, :2] / pw_safe[:, None]
+    mean2d = jnp.stack(
+        [(ndc[:, 0] + 1.0) * W * 0.5 - 0.5, (ndc[:, 1] + 1.0) * H * 0.5 - 0.5],
+        axis=-1,
+    )
+
+    valid = (tz > NEAR_CULL) & (det > 0)
+    return Projected(mean2d=mean2d, conic=conic, depth=tz, radius=radius,
+                     opacity=opacity_act, color=colors, valid=valid)
+
+
+def _alpha_at(proj_mean2d, proj_conic, proj_opacity, px, py):
+    """Gaussian alpha at pixel grid. Broadcast: gaussians (..., K, 1) x pixels (P,)."""
+    dx = px[None, :] - proj_mean2d[..., 0:1]
+    dy = py[None, :] - proj_mean2d[..., 1:2]
+    power = (
+        -0.5 * (proj_conic[..., 0:1] * dx * dx + proj_conic[..., 2:3] * dy * dy)
+        - proj_conic[..., 1:2] * dx * dy
+    )
+    alpha = proj_opacity[..., None] * jnp.exp(jnp.minimum(power, 0.0))
+    alpha = jnp.minimum(alpha, ALPHA_MAX)
+    # CUDA skips power > 0 and alpha < 1/255.
+    alpha = jnp.where((power > 0.0) | (alpha < ALPHA_MIN), 0.0, alpha)
+    return alpha
+
+
+def composite_depth_ordered(alpha: jnp.ndarray, color: jnp.ndarray,
+                            bg: jnp.ndarray, logT0=None):
+    """Parallel front-to-back blend.
+
+    alpha: (K, P) for K depth-ordered gaussians over P pixels; color: (K, 3).
+    Returns (P, 3) image and (P,) final log-transmittance.
+    """
+    log1m = jnp.log1p(-alpha)  # (K, P)
+    logT_after = jnp.cumsum(log1m, axis=0)
+    if logT0 is not None:
+        logT_after = logT_after + logT0[None, :]
+    logT_before = jnp.concatenate(
+        [jnp.zeros_like(logT_after[:1]) + (0.0 if logT0 is None else logT0[None, :]),
+         logT_after[:-1]], axis=0)
+    w = alpha * jnp.exp(logT_before)
+    # CUDA terminates when T would drop below 1e-4 — that contribution and
+    # all later ones are dropped.
+    w = jnp.where(jnp.exp(logT_after) < T_EPS, 0.0, w)
+    img = jnp.einsum("kp,kc->pc", w, color)
+    if bg is not None:
+        T_final = jnp.exp(logT_after[-1])
+        img = img + T_final[:, None] * bg[None, :]
+    return img, logT_after[-1]
+
+
+def render_naive(proj: Projected, width: int, height: int,
+                 bg_color=(1.0, 1.0, 1.0), row_chunk: int = 16) -> jnp.ndarray:
+    """Gold-reference renderer: all N Gaussians vs all pixels, no binning.
+
+    O(N*H*W) — use only at test sizes. Differentiable.
+    """
+    order = jnp.argsort(proj.depth)
+    mean2d = proj.mean2d[order]
+    conic = proj.conic[order]
+    color = proj.color[order]
+    opac = jnp.where(proj.valid[order], proj.opacity[order], 0.0)
+    bg = jnp.asarray(bg_color, jnp.float32)
+
+    ys = jnp.arange(height, dtype=jnp.float32)
+    xs = jnp.arange(width, dtype=jnp.float32)
+
+    def render_rows(y0):
+        py = jax.lax.dynamic_slice_in_dim(ys, y0, row_chunk)  # (rc,)
+        px = jnp.tile(xs, row_chunk)
+        pyf = jnp.repeat(py, width)
+        alpha = _alpha_at(mean2d, conic, opac, px, pyf)  # (N, rc*W)
+        img, _ = composite_depth_ordered(alpha, color, bg)
+        return img.reshape(row_chunk, width, 3)
+
+    n_chunks = height // row_chunk
+    rows = jax.lax.map(render_rows, jnp.arange(n_chunks) * row_chunk)
+    img = rows.reshape(height, width, 3)
+    return jnp.clip(img, 0.0, 1.0)
+
+
+def bin_gaussians(proj: Projected, width: int, height: int,
+                  max_per_tile: int):
+    """Depth-ordered top-K tile binning.
+
+    Returns (tile_idx (T, K) int32 gaussian ids in depth order, tile_mask
+    (T, K) bool). T = (H/16)*(W/16). Static shapes throughout.
+    """
+    tx = width // TILE
+    ty = height // TILE
+    n = proj.mean2d.shape[0]
+    max_per_tile = min(max_per_tile, n)
+
+    order = jnp.argsort(proj.depth)  # front-to-back
+    mean2d = proj.mean2d[order]
+    radius = jnp.where(proj.valid[order], proj.radius[order], 0.0)
+
+    # Per-gaussian tile bbox (inclusive), in tile units.
+    x0 = jnp.floor((mean2d[:, 0] - radius) / TILE)
+    x1 = jnp.floor((mean2d[:, 0] + radius) / TILE)
+    y0 = jnp.floor((mean2d[:, 1] - radius) / TILE)
+    y1 = jnp.floor((mean2d[:, 1] + radius) / TILE)
+
+    tgx = jnp.arange(tx, dtype=jnp.float32)
+    tgy = jnp.arange(ty, dtype=jnp.float32)
+    # overlap masks per axis: (N, tx), (N, ty)
+    mx = (tgx[None, :] >= x0[:, None]) & (tgx[None, :] <= x1[:, None])
+    my = (tgy[None, :] >= y0[:, None]) & (tgy[None, :] <= y1[:, None])
+    alive = radius > 0.0
+
+    # (ty, tx, N) -> (T, N) overlap matrix in depth order.
+    ov = (my.T[:, None, :] & mx.T[None, :, :]) & alive[None, None, :]
+    ov = ov.reshape(ty * tx, n)
+
+    # First-K set bits in depth order: score = n - rank if set else -1.
+    rank_desc = jnp.arange(n, 0, -1, dtype=jnp.int32)  # n..1
+    score = jnp.where(ov, rank_desc[None, :], 0)
+    topv, topi = jax.lax.top_k(score, max_per_tile)  # descending -> rank ascending
+    tile_mask = topv > 0
+    tile_idx = topi  # indices into the depth-ordered arrays
+    return order, tile_idx, tile_mask
+
+
+def render_tiles(proj: Projected, width: int, height: int,
+                 bg_color=(1.0, 1.0, 1.0), max_per_tile: int = 512,
+                 tile_chunk: int = 64) -> jnp.ndarray:
+    """Tile-binned differentiable renderer (pure XLA).
+
+    The per-tile working set is (K, 256) alphas + a (256, K)@(K, 3) blend —
+    both map cleanly onto VPU/MXU. Tiles are processed in chunks via lax.map
+    to bound memory; each chunk is vmapped.
+    """
+    assert width % TILE == 0 and height % TILE == 0, (width, height)
+    tx = width // TILE
+    ty = height // TILE
+    n_tiles = tx * ty
+    bg = jnp.asarray(bg_color, jnp.float32)
+
+    order, tile_idx, tile_mask = bin_gaussians(proj, width, height, max_per_tile)
+    mean2d = proj.mean2d[order]
+    conic = proj.conic[order]
+    color = proj.color[order]
+    opac = jnp.where(proj.valid[order], proj.opacity[order], 0.0)
+
+    # Pixel offsets within a tile.
+    oy, ox = jnp.meshgrid(jnp.arange(TILE, dtype=jnp.float32),
+                          jnp.arange(TILE, dtype=jnp.float32), indexing="ij")
+    ox = ox.reshape(-1)
+    oy = oy.reshape(-1)
+
+    def render_tile(tid, idx, mask):
+        tyi = tid // tx
+        txi = tid % tx
+        px = ox + (txi * TILE).astype(jnp.float32)
+        py = oy + (tyi * TILE).astype(jnp.float32)
+        m2 = mean2d[idx]
+        cn = conic[idx]
+        cl = color[idx]
+        op = jnp.where(mask, opac[idx], 0.0)
+        alpha = _alpha_at(m2, cn, op, px, py)  # (K, 256)
+        img, _ = composite_depth_ordered(alpha, cl, bg)
+        return img  # (256, 3)
+
+    chunk = min(tile_chunk, n_tiles)
+
+    def chunk_fn(c0):
+        tids = c0 + jnp.arange(chunk)
+        return jax.vmap(render_tile)(tids,
+                                     jnp.take(tile_idx, tids, axis=0),
+                                     jnp.take(tile_mask, tids, axis=0))
+
+    n_chunks = max(1, n_tiles // chunk)
+    out = jax.lax.map(chunk_fn, jnp.arange(n_chunks) * chunk)  # (C, chunk, 256, 3)
+    img = out.reshape(ty, tx, TILE, TILE, 3).transpose(0, 2, 1, 3, 4).reshape(height, width, 3)
+    return jnp.clip(img, 0.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# High-level API (reference render_one / render_batch semantics)
+# ---------------------------------------------------------------------------
+
+def render_one(xyz: jnp.ndarray, rot: jnp.ndarray, raw_scales: jnp.ndarray,
+               raw_opacity: jnp.ndarray, colors: jnp.ndarray,
+               K: jnp.ndarray, E: jnp.ndarray, width: int, height: int,
+               bg_color=(1.0, 1.0, 1.0), max_per_tile: int = 512,
+               mode: str = "tiles") -> jnp.ndarray:
+    """Single-view render with the reference's activations
+    (renderer.py:481-569). colors are final RGB in [0,1] (args.rgb=True path).
+    """
+    cam = make_camera(K, E, width, height)
+    proj = project_gaussians(
+        xyz, rot, activate_scales(raw_scales),
+        activate_opacity(raw_opacity.squeeze(-1) if raw_opacity.ndim == 2 else raw_opacity),
+        jnp.clip(colors, 0.0, 1.0), cam)
+    if mode == "naive":
+        return render_naive(proj, width, height, bg_color)
+    return render_tiles(proj, width, height, bg_color, max_per_tile=max_per_tile)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "max_per_tile", "mode"))
+def render_batch(gaussians: dict, K: jnp.ndarray, E: jnp.ndarray,
+                 width: int, height: int, max_per_tile: int = 512,
+                 mode: str = "tiles") -> jnp.ndarray:
+    """Batched multi-view render — the TPU answer to the reference's serial
+    per-view python loop (renderer.py:447-479): one vmap over B*T views.
+
+    gaussians: dict with xyz (B,T,N,3) or (BT,N,3), rot, scale, opacity, color.
+    K: (..., 3, 3), E: (..., 4, 4). Returns (..., H, W, 3).
+    """
+    lead = E.shape[:-2]
+    Kf = K.reshape((-1, 3, 3))
+    Ef = E.reshape((-1, 4, 4))
+    n = Kf.shape[0]
+
+    def flat(v, last):
+        return v.reshape((n, -1) + (last,))
+
+    xyz = flat(gaussians["xyz"], 3)
+    rot = flat(gaussians["rot"], 4)
+    scale = flat(gaussians["scale"], 3)
+    opac = gaussians["opacity"].reshape(n, -1)
+    color = flat(gaussians["color"], 3)
+
+    def one(x, r, s, o, c, k, e):
+        return render_one(x, r, s, o, c, k, e, width, height)
+
+    imgs = jax.vmap(one)(xyz, rot, scale, opac, color, Kf, Ef)
+    return imgs.reshape(lead + (height, width, 3))
+
+
+def render_multi_view(gaussians: dict, K: jnp.ndarray, E: jnp.ndarray,
+                      width: int, height: int, **kw) -> jnp.ndarray:
+    """One Gaussian set rendered from T cameras (renderer.py:431-445):
+    gaussians (B, N, D), K/E (B, T, ...)."""
+    B, T = E.shape[0], E.shape[1]
+    expanded = {
+        k: jnp.broadcast_to(v[:, None], (B, T) + v.shape[1:])
+        for k, v in gaussians.items()
+    }
+    return render_batch(expanded, K, E, width, height, **kw)

@@ -1,0 +1,198 @@
+"""Pallas TPU kernel for per-tile Gaussian compositing.
+
+The fast path of the splat renderer (ops/splat.py): projection + tile binning
+stay in XLA (they're matmuls/sorts/top_k — already optimal there); the
+per-tile front-to-back alpha blend runs as a Pallas kernel with the whole
+tile working set in VMEM:
+
+  grid = (num_tiles,)
+  per-tile inputs: 9 planes of (K,) packed Gaussian params (mean2d, conic,
+  opacity, rgb), depth-ordered, opacity pre-masked to 0 for padding slots.
+  per-tile compute: alpha (P=256 pixels, K) on the VPU, transmittance via a
+  cumulative sum of log(1-alpha) along K, blend via lane reductions.
+
+Replaces the sequential warp-per-pixel loop of the CUDA rasterizer
+(reference: src/models/renderer.py:516-566 calls into
+diff-gaussian-rasterization) with a data-parallel prefix formulation:
+w_i = alpha_i * exp(cumsum_{j<i} log(1-alpha_j)).
+
+Differentiation: `composite_tiles` carries a custom VJP whose backward
+re-computes the blend in XLA from the (small) saved tile inputs — exact
+gradients, no O(K*P) residuals stored. A hand-written Pallas backward can
+replace it later without touching callers.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import splat
+from .splat import ALPHA_MAX, ALPHA_MIN, T_EPS, TILE
+
+P = TILE * TILE  # pixels per tile
+
+
+def _tile_kernel(tx_ref, mx, my, cxx, cxy, cyy, op, cr, cg, cb, out_ref):
+    """One 16x16 tile: composite K depth-ordered gaussians over 256 pixels.
+
+    mx..cb are (1, K) row values already loaded from VMEM.
+    """
+    tid = pl.program_id(0)
+    tx = tx_ref[0]  # tiles per row (scalar prefetch)
+    txi = (tid % tx).astype(jnp.float32)
+    tyi = (tid // tx).astype(jnp.float32)
+
+    pix = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    px = (pix % TILE).astype(jnp.float32) + txi * TILE  # (P, 1)
+    py = (pix // TILE).astype(jnp.float32) + tyi * TILE
+
+    dx = px - mx     # (P, K)
+    dy = py - my
+    power = -0.5 * (cxx * dx * dx + cyy * dy * dy) - cxy * dx * dy
+    alpha = jnp.minimum(op * jnp.exp(jnp.minimum(power, 0.0)), ALPHA_MAX)
+    alpha = jnp.where((power > 0.0) | (alpha < ALPHA_MIN), 0.0, alpha)
+
+    log1m = jnp.log1p(-alpha)                       # (P, K)
+    # Inclusive prefix-sum along K. Mosaic has no cumsum lowering; express it
+    # as a triangular matmul — one (P,K)@(K,K) f32 MXU op per tile.
+    K = log1m.shape[1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
+    tri = (rows <= cols).astype(jnp.float32)        # upper-tri incl diag
+    logT_after = jnp.dot(log1m, tri, preferred_element_type=jnp.float32)
+    logT_before = logT_after - log1m
+    w = alpha * jnp.exp(logT_before)
+    w = jnp.where(jnp.exp(logT_after) < T_EPS, 0.0, w)
+
+    T_final = jnp.exp(logT_after[:, -1:])           # (P, 1)
+    # white background (reference renderer.py:512-514)
+    r = jnp.sum(w * cr, axis=1, keepdims=True) + T_final
+    g = jnp.sum(w * cg, axis=1, keepdims=True) + T_final
+    b = jnp.sum(w * cb, axis=1, keepdims=True) + T_final
+
+    out = jnp.concatenate([r, g, b], axis=1)        # (P, 3)
+    out_ref[0] = jnp.clip(out, 0.0, 1.0)
+
+
+def _composite_tiles_pallas(tile_params: jnp.ndarray, tx: int) -> jnp.ndarray:
+    """tile_params: (T, 9, K) packed [mx,my,cxx,cxy,cyy,op,r,g,b] -> (T, P, 3)."""
+    n_tiles, _, K = tile_params.shape
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 9, K), lambda t, s: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, P, 3), lambda t, s: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+
+    def kernel(s_ref, data_ref, out_ref):
+        rows = [data_ref[0, i:i + 1, :] for i in range(9)]  # each (1, K)
+        _tile_kernel(s_ref, *rows, out_ref)
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, P, 3), jnp.float32),
+    )(jnp.asarray([tx], jnp.int32), tile_params)
+
+
+def _composite_tiles_xla(tile_params: jnp.ndarray, tile_origin: jnp.ndarray) -> jnp.ndarray:
+    """Reference/backward path: identical math in plain JAX.
+
+    tile_params: (T, 9, K); tile_origin: (T, 2) pixel origin -> (T, P, 3).
+    """
+    pix = jnp.arange(P)
+    ox = (pix % TILE).astype(jnp.float32)
+    oy = (pix // TILE).astype(jnp.float32)
+
+    def one(params, origin):
+        mx, my, cxx, cxy, cyy, op, cr, cg, cb = params  # each (K,)
+        px = (ox + origin[0])[:, None]
+        py = (oy + origin[1])[:, None]
+        dx = px - mx[None, :]
+        dy = py - my[None, :]
+        power = -0.5 * (cxx[None] * dx * dx + cyy[None] * dy * dy) - cxy[None] * dx * dy
+        alpha = jnp.minimum(op[None] * jnp.exp(jnp.minimum(power, 0.0)), ALPHA_MAX)
+        alpha = jnp.where((power > 0.0) | (alpha < ALPHA_MIN), 0.0, alpha)
+        log1m = jnp.log1p(-alpha)
+        logT_after = jnp.cumsum(log1m, axis=1)
+        logT_before = logT_after - log1m
+        w = alpha * jnp.exp(logT_before)
+        w = jnp.where(jnp.exp(logT_after) < T_EPS, 0.0, w)
+        T_final = jnp.exp(logT_after[:, -1:])
+        colors = jnp.stack([cr, cg, cb], axis=-1)  # (K, 3)
+        img = w @ colors + T_final  # white bg
+        return jnp.clip(img, 0.0, 1.0)
+
+    return jax.vmap(one)(tile_params, tile_origin)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def composite_tiles(tile_params: jnp.ndarray, tile_origin: jnp.ndarray,
+                    tx: int) -> jnp.ndarray:
+    return _composite_tiles_pallas(tile_params, tx)
+
+
+def _ct_fwd(tile_params, tile_origin, tx):
+    return _composite_tiles_pallas(tile_params, tx), (tile_params, tile_origin)
+
+
+def _ct_bwd(tx, res, g):
+    tile_params, tile_origin = res
+    _, vjp = jax.vjp(lambda p: _composite_tiles_xla(p, tile_origin), tile_params)
+    (dp,) = vjp(g)
+    return dp, jnp.zeros_like(tile_origin)
+
+
+composite_tiles.defvjp(_ct_fwd, _ct_bwd)
+
+
+def render_tiles_pallas(proj: splat.Projected, width: int, height: int,
+                        max_per_tile: int = 512, interpret: bool = False) -> jnp.ndarray:
+    """Full tile renderer with the Pallas compositing kernel.
+
+    Semantics identical to splat.render_tiles with bg=(1,1,1).
+    """
+    assert width % TILE == 0 and height % TILE == 0
+    tx = width // TILE
+    ty = height // TILE
+
+    order, tile_idx, tile_mask = splat.bin_gaussians(proj, width, height, max_per_tile)
+    mean2d = proj.mean2d[order]
+    conic = proj.conic[order]
+    color = proj.color[order]
+    opac = jnp.where(proj.valid[order], proj.opacity[order], 0.0)
+
+    # Gather per-tile packed params: (T, 9, K)
+    packed = jnp.stack(
+        [mean2d[:, 0], mean2d[:, 1], conic[:, 0], conic[:, 1], conic[:, 2],
+         opac, color[:, 0], color[:, 1], color[:, 2]],
+        axis=0,
+    )  # (9, N)
+    tile_params = jnp.take(packed, tile_idx, axis=1)         # (9, T, K)
+    tile_params = jnp.swapaxes(tile_params, 0, 1)            # (T, 9, K)
+    # zero opacity for padding slots
+    tile_params = tile_params.at[:, 5, :].multiply(tile_mask.astype(tile_params.dtype))
+
+    tids = jnp.arange(tx * ty)
+    tile_origin = jnp.stack(
+        [(tids % tx * TILE).astype(jnp.float32), (tids // tx * TILE).astype(jnp.float32)],
+        axis=-1,
+    )
+
+    if interpret:
+        tiles = _composite_tiles_xla(tile_params, tile_origin)
+    else:
+        tiles = composite_tiles(tile_params, tile_origin, tx)
+
+    img = tiles.reshape(ty, tx, TILE, TILE, 3).transpose(0, 2, 1, 3, 4)
+    return img.reshape(height, width, 3)

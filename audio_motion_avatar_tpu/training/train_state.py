@@ -1,0 +1,65 @@
+"""Optimizer + train state.
+
+Reference training config (src/configs/training/train_stage{1,2}.yaml +
+trainer_factory.py:44-45, lightning_model_wrapper.py:366-382):
+Adam, LinearLR 1.0 -> end_factor over total_steps stepped per iteration,
+global-norm gradient clipping (default 1.0), gradient accumulation via
+optax.MultiSteps (Lightning accumulate_grad_batches analog).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimConfig:
+    learning_rate: float = 5e-5
+    total_steps: int = 50000
+    end_factor: float = 0.01
+    betas: tuple = (0.9, 0.999)
+    weight_decay: float = 0.0
+    grad_clip: float = 1.0
+    accumulate_steps: int = 1
+
+
+def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
+    schedule = optax.linear_schedule(
+        init_value=cfg.learning_rate,
+        end_value=cfg.learning_rate * cfg.end_factor,
+        transition_steps=cfg.total_steps,
+    )
+    chain = [optax.clip_by_global_norm(cfg.grad_clip)]
+    if cfg.weight_decay > 0:
+        chain.append(optax.adamw(schedule, b1=cfg.betas[0], b2=cfg.betas[1],
+                                 weight_decay=cfg.weight_decay))
+    else:
+        chain.append(optax.adam(schedule, b1=cfg.betas[0], b2=cfg.betas[1]))
+    tx = optax.chain(*chain)
+    if cfg.accumulate_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.accumulate_steps)
+    return tx
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads):
+        updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(step=self.step + 1, params=new_params,
+                            opt_state=new_opt)
+
+    @classmethod
+    def create(cls, params, tx):
+        return cls(step=jnp.zeros((), jnp.int32), params=params,
+                   opt_state=tx.init(params), tx=tx)

@@ -1,0 +1,102 @@
+"""End-to-end stage-1 model smoke tests (tiny config, CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from audio_motion_avatar_tpu.data.synthetic import make_batch
+from audio_motion_avatar_tpu.models.avatar import TriplaneGaussianAvatar
+from audio_motion_avatar_tpu.models.config import AvatarConfig
+from audio_motion_avatar_tpu.models.renderer import build_renderer_statics
+from audio_motion_avatar_tpu.ops import smplx as smplx_ops
+
+CFG = AvatarConfig.tiny(image_size=(64, 64))
+SMPLX = smplx_ops.synthetic_model(seed=0, num_verts=400)
+STATICS = build_renderer_statics(SMPLX, subdivide_steps=CFG.subdivide_steps,
+                                 densify=CFG.densify_smplx_verts)
+NUM_VERTS_ENC = 400 + int(np.asarray(SMPLX.faces).shape[0])
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    model = TriplaneGaussianAvatar(cfg=CFG, num_verts_encoder=NUM_VERTS_ENC)
+    batch = make_batch(1, 2, (64, 64), seed=0)
+    variables = model.init(
+        jax.random.PRNGKey(0), STATICS,
+        jnp.asarray(batch.video), batch.smpl_parms,
+        {k: jnp.asarray(v) for k, v in batch.cam_parms.items()})
+    return model, variables
+
+
+def test_forward_shapes(model_and_vars):
+    model, variables = model_and_vars
+    batch = make_batch(1, 2, (64, 64), seed=1)
+    out = model.apply(variables, STATICS, jnp.asarray(batch.video),
+                      batch.smpl_parms,
+                      {k: jnp.asarray(v) for k, v in batch.cam_parms.items()})
+    B, T = 1, 2
+    R = CFG.triplane_resolution
+    assert out.rendered_images.shape == (B, T, 64, 64, 3)
+    assert out.triplane_tokens.shape == (B, T, CFG.triplane_feature_dim, 3 * R * R)
+    assert out.smpl_tokens.shape == (B, T, CFG.smpl_token_dim, CFG.smpl_token_len)
+    assert out.pred_smpl_1["body_pose"].shape == (B, T, 21, 3)
+    assert out.pred_smpl_2["betas"].shape == (B, T, 10)
+    img = np.asarray(out.rendered_images)
+    assert np.isfinite(img).all()
+    assert img.min() >= 0 and img.max() <= 1
+
+
+def test_zero_init_heads_render_faint_gaussians(model_and_vars):
+    """With zero-init gaussian heads, opacity=sigmoid(inv_sigmoid(0.1))=0.1 →
+    mostly-background render."""
+    model, variables = model_and_vars
+    batch = make_batch(1, 2, (64, 64), seed=2)
+    out = model.apply(variables, STATICS, jnp.asarray(batch.video),
+                      batch.smpl_parms,
+                      {k: jnp.asarray(v) for k, v in batch.cam_parms.items()})
+    g = out.gaussians
+    op = np.asarray(jax.nn.sigmoid(g["opacity"]))
+    np.testing.assert_allclose(op, 0.1, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g["rot"])[..., 0], 1.0, atol=1e-5)
+    # colors sigmoid(0) = 0.5
+    np.testing.assert_allclose(np.asarray(g["color"]), 0.5, atol=1e-5)
+
+
+def test_predicted_params_path(model_and_vars):
+    """smpl_params_gt=None must run the predicted-parameter path."""
+    model, variables = model_and_vars
+    batch = make_batch(1, 1, (64, 64), seed=3)
+    out = model.apply(variables, STATICS, jnp.asarray(batch.video), None,
+                      {k: jnp.asarray(v) for k, v in batch.cam_parms.items()})
+    assert out.rendered_images.shape == (1, 1, 64, 64, 3)
+    assert np.isfinite(np.asarray(out.rendered_images)).all()
+
+
+def test_frozen_encoder_no_grads(model_and_vars):
+    """Sapiens params must receive zero gradient (frozen, stop_gradient);
+    the trainable stack must receive gradient. Note: with the reference's
+    zero-init gaussian heads, a purely photometric loss gives zero gradient
+    to everything upstream of the heads at step 0 — so the loss here also
+    supervises pred_smpl_2 (as stage-1 training does)."""
+    model, variables = model_and_vars
+    batch = make_batch(1, 1, (64, 64), seed=4)
+    cam = {k: jnp.asarray(v) for k, v in batch.cam_parms.items()}
+    video = jnp.asarray(batch.video)
+
+    def loss_fn(params):
+        out = model.apply({"params": params}, STATICS, video,
+                          batch.smpl_parms, cam)
+        return ((out.rendered_images ** 2).mean()
+                + (out.pred_smpl_2["body_pose"] ** 2).mean()
+                + (out.pred_smpl_2["betas"] ** 2).mean())
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    sap = jax.tree_util.tree_leaves(grads["sapiens_encoder"])
+    assert all(float(jnp.abs(g).max()) == 0.0 for g in sap)
+    # photometric loss reaches the gaussian heads...
+    rend = jax.tree_util.tree_leaves(grads["renderer"])
+    assert any(float(jnp.abs(g).max()) > 0 for g in rend)
+    # ...and the smplx branch reaches the fusion transformer.
+    fus = jax.tree_util.tree_leaves(grads["fusion_network"])
+    assert any(float(jnp.abs(g).max()) > 0 for g in fus)

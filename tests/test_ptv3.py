@@ -1,0 +1,74 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from audio_motion_avatar_tpu.models.ptv3 import PointRefiner
+
+
+def make_refiner(n=300, in_dim=12):
+    rng = np.random.RandomState(0)
+    pts = jnp.asarray((rng.randn(2, n, 3) * 0.4).astype(np.float32))
+    feats = jnp.asarray(rng.randn(2, n, in_dim).astype(np.float32))
+    model = PointRefiner(
+        in_dim=in_dim, out_dim=32,
+        enc_channels=(16, 32, 64), enc_depths=(1, 1, 1), enc_heads=(2, 2, 4),
+        dec_channels=(16, 32), dec_depths=(1, 1), dec_heads=(2, 2),
+        patch_size=64, grid_resolution=100.0)
+    variables = model.init(jax.random.PRNGKey(0), pts, feats)
+    return model, variables, pts, feats
+
+
+def test_shapes_and_finite():
+    model, variables, pts, feats = make_refiner()
+    out = model.apply(variables, pts, feats)
+    assert out.shape == (2, 300, 32)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_permutation_equivariance():
+    """Serialization sorts points internally, so permuting the input cloud
+    must permute the output identically (up to fp noise from different
+    reduction orders)."""
+    model, variables, pts, feats = make_refiner()
+    out1 = np.asarray(model.apply(variables, pts, feats))
+    perm = np.random.RandomState(1).permutation(300)
+    out2 = np.asarray(model.apply(variables, pts[:, perm], feats[:, perm]))
+    np.testing.assert_allclose(out1[:, perm], out2, atol=2e-4)
+
+
+def test_depends_on_geometry():
+    """Moving points must change features (attention grouping + cpe)."""
+    model, variables, pts, feats = make_refiner()
+    out1 = np.asarray(model.apply(variables, pts, feats))
+    out2 = np.asarray(model.apply(variables, pts * 0.2, feats))
+    assert np.abs(out1 - out2).max() > 1e-3
+
+
+def test_grad_flows():
+    model, variables, pts, feats = make_refiner()
+
+    def loss(feats):
+        return (model.apply(variables, pts, feats) ** 2).mean()
+
+    g = np.asarray(jax.grad(loss)(feats))
+    assert np.isfinite(g).all()
+    assert np.abs(g).max() > 0
+
+
+def test_full_scale_shapes():
+    """Reference-scale config on a smaller N to keep CPU time sane."""
+    rng = np.random.RandomState(2)
+    n = 2048
+    pts = jnp.asarray((rng.randn(1, n, 3) * 0.4).astype(np.float32))
+    feats = jnp.asarray(rng.randn(1, n, 24).astype(np.float32))
+    model = PointRefiner(
+        in_dim=24, out_dim=256,
+        enc_channels=(32, 64, 128, 256, 512), enc_depths=(1, 1, 1, 1, 1),
+        enc_heads=(2, 4, 8, 16, 32),
+        dec_channels=(256, 128, 256, 512), dec_depths=(1, 1, 1, 1),
+        dec_heads=(4, 4, 8, 16),
+        patch_size=512, grid_resolution=100.0)
+    variables = model.init(jax.random.PRNGKey(0), pts, feats)
+    out = model.apply(variables, pts, feats)
+    assert out.shape == (1, n, 256)
+    assert np.isfinite(np.asarray(out)).all()

@@ -1,0 +1,142 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from audio_motion_avatar_tpu.ops import splat
+from audio_motion_avatar_tpu.ops.cameras import make_camera
+
+
+def scene(n=64, seed=0, spread=0.4):
+    rng = np.random.RandomState(seed)
+    xyz = (rng.randn(n, 3) * spread).astype(np.float32)
+    rot = rng.randn(n, 4).astype(np.float32)
+    rot[:, 0] += 3.0  # near-identity quats
+    raw_scales = rng.randn(n, 3).astype(np.float32) * 0.3  # exp(s-3.9) ~ 0.02
+    raw_opacity = rng.randn(n).astype(np.float32) * 2.0
+    colors = rng.rand(n, 3).astype(np.float32)
+    return (jnp.asarray(xyz), jnp.asarray(rot), jnp.asarray(raw_scales),
+            jnp.asarray(raw_opacity), jnp.asarray(colors))
+
+
+def front_camera(width=64, height=64, focal=80.0, dist=2.0):
+    K = jnp.asarray([[focal, 0, width / 2], [0, focal, height / 2], [0, 0, 1.0]])
+    E = jnp.eye(4).at[2, 3].set(dist)  # camera at z=-dist looking +z
+    return K, E
+
+
+def test_empty_scene_is_background():
+    xyz, rot, s, o, c = scene(8)
+    o = o - 100.0  # opacity ~ 0
+    K, E = front_camera()
+    img = np.asarray(splat.render_one(xyz, rot, s, o, c, K, E, 64, 64))
+    np.testing.assert_allclose(img, 1.0, atol=1e-4)
+
+
+def test_single_gaussian_center_analytic():
+    """One Gaussian dead-center: the center pixel blends alpha*color with bg."""
+    xyz = jnp.asarray([[0.0, 0.0, 0.0]])
+    rot = jnp.asarray([[1.0, 0, 0, 0]])
+    raw_s = jnp.zeros((1, 3))          # scale = exp(-3.9) ~ 0.0202
+    raw_o = jnp.asarray([0.0])         # opacity = 0.5
+    color = jnp.asarray([[1.0, 0.0, 0.0]])
+    K, E = front_camera(64, 64, focal=80.0, dist=2.0)
+    img = np.asarray(splat.render_one(xyz, rot, raw_s, raw_o, color, K, E, 64, 64,
+                                      mode="naive"))
+    # mean projects to (31.5, 31.5); nearest pixel centers are 0.5px away in
+    # both axes. screen sigma^2 = (scale*f/z)^2 + 0.3 dilation.
+    cy, cx = np.unravel_index(np.argmin(img[..., 1]), img[..., 1].shape)
+    assert abs(cy - 31.5) < 2 and abs(cx - 31.5) < 2
+    sigma2 = (np.exp(-3.9) * 80.0 / 2.0) ** 2 + 0.3
+    alpha = 0.5 * np.exp(-0.5 * (0.5 ** 2 + 0.5 ** 2) / sigma2)
+    expect_r = alpha * 1.0 + (1 - alpha) * 1.0  # blend with white bg
+    expect_g = (1 - alpha) * 1.0
+    assert abs(img[cy, cx, 0] - expect_r) < 0.01, (img[cy, cx], expect_r)
+    assert abs(img[cy, cx, 1] - expect_g) < 0.01, (img[cy, cx], expect_g)
+
+
+def test_occlusion_order():
+    """Front red must occlude back blue regardless of input order."""
+    xyz = jnp.asarray([[0.0, 0.0, 0.5], [0.0, 0.0, -0.5]])  # blue nearer? z+dist: depth 2.5 vs 1.5
+    rot = jnp.tile(jnp.asarray([[1.0, 0, 0, 0]]), (2, 1))
+    raw_s = jnp.full((2, 3), 2.0)      # bigger blobs
+    raw_o = jnp.full((2,), 8.0)        # opacity ~ 1 -> alpha capped at 0.99
+    color = jnp.asarray([[1.0, 0, 0], [0, 0, 1.0]])  # red at z=0.5 (farther), blue at -0.5 (nearer)
+    K, E = front_camera(64, 64)
+    img = np.asarray(splat.render_one(xyz, rot, raw_s, raw_o, color, K, E, 64, 64,
+                                      mode="naive"))
+    c = img[32, 32]
+    assert c[2] > 0.9 and c[0] < 0.1, c  # blue wins (nearer to camera)
+
+
+def test_tiles_match_naive():
+    xyz, rot, s, o, c = scene(96, seed=3)
+    K, E = front_camera(64, 64)
+    img_t = np.asarray(splat.render_one(xyz, rot, s, o, c, K, E, 64, 64, mode="tiles"))
+    img_n = np.asarray(splat.render_one(xyz, rot, s, o, c, K, E, 64, 64, mode="naive"))
+    np.testing.assert_allclose(img_t, img_n, atol=1e-4)
+
+
+def test_tiles_match_naive_bigger_gaussians():
+    xyz, rot, s, o, c = scene(64, seed=4)
+    s = s + 2.5  # large radii -> many tiles per gaussian
+    K, E = front_camera(64, 64)
+    img_t = np.asarray(splat.render_one(xyz, rot, s, o, c, K, E, 64, 64, mode="tiles"))
+    img_n = np.asarray(splat.render_one(xyz, rot, s, o, c, K, E, 64, 64, mode="naive"))
+    # Tile binning truncates at the 3-sigma bbox (as the CUDA rasterizer
+    # does); the naive oracle composites tails beyond it, so allow the tiny
+    # truncation residual for near-opaque gaussians (alpha floor kicks in at
+    # ~3.33 sigma for opacity 1).
+    np.testing.assert_allclose(img_t, img_n, atol=3e-3)
+    assert np.abs(img_t - img_n).mean() < 1e-5
+
+
+def test_behind_camera_culled():
+    xyz = jnp.asarray([[0.0, 0.0, -5.0]])  # behind camera (depth = -3)
+    rot = jnp.asarray([[1.0, 0, 0, 0]])
+    K, E = front_camera()
+    img = np.asarray(splat.render_one(xyz, rot, jnp.full((1, 3), 3.0),
+                                      jnp.asarray([10.0]), jnp.asarray([[1.0, 0, 0]]),
+                                      K, E, 64, 64))
+    np.testing.assert_allclose(img, 1.0, atol=1e-4)
+
+
+def test_gradients_flow():
+    xyz, rot, s, o, c = scene(32, seed=5)
+    K, E = front_camera(32, 32)
+
+    def loss(xyz, s, o, c):
+        img = splat.render_one(xyz, rot, s, o, c, K, E, 32, 32)
+        return ((img - 0.3) ** 2).mean()
+
+    g = jax.grad(loss, argnums=(0, 1, 2, 3))(xyz, s, o, c)
+    for gi, name in zip(g, ["xyz", "scale", "opacity", "color"]):
+        arr = np.asarray(gi)
+        assert np.isfinite(arr).all(), name
+        assert np.abs(arr).max() > 0, name
+
+
+def test_render_multi_view_shapes():
+    xyz, rot, s, o, c = scene(16)
+    gaussians = {
+        "xyz": xyz[None], "rot": rot[None], "scale": s[None],
+        "opacity": o[None, :, None], "color": c[None],
+    }
+    K, E = front_camera(32, 32)
+    Ks = jnp.tile(K[None, None], (1, 3, 1, 1))
+    Es = jnp.tile(E[None, None], (1, 3, 1, 1))
+    out = splat.render_multi_view(gaussians, Ks, Es, 32, 32)
+    assert out.shape == (1, 3, 32, 32, 3)
+    # same camera -> identical frames
+    np.testing.assert_allclose(np.asarray(out[0, 0]), np.asarray(out[0, 2]), atol=1e-6)
+
+
+def test_projection_depth_and_validity():
+    xyz = jnp.asarray([[0.0, 0, 0], [0, 0, -1.9]])  # depths 2.0, 0.1 (< NEAR_CULL)
+    K, E = front_camera()
+    cam = make_camera(K, E, 64, 64)
+    proj = splat.project_gaussians(
+        xyz, jnp.tile(jnp.asarray([[1.0, 0, 0, 0]]), (2, 1)),
+        jnp.full((2, 3), 0.02), jnp.full((2,), 0.5),
+        jnp.zeros((2, 3)), cam)
+    np.testing.assert_allclose(np.asarray(proj.depth), [2.0, 0.1], atol=1e-6)
+    assert bool(proj.valid[0]) and not bool(proj.valid[1])
