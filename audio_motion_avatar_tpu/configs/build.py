@@ -10,8 +10,13 @@ from .loader import Config, ConfigLoader
 def build_avatar_config(cfg: Config) -> AvatarConfig:
     """Map the merged YAML tree onto the static AvatarConfig dataclass."""
     if cfg.get("profile") == "tiny":
+        import dataclasses
         base = AvatarConfig.tiny(image_size=tuple(cfg.dataset.image_size))
-        return base
+        return dataclasses.replace(
+            base,
+            audio_feature_dim=int(cfg.dataset.get("audio_feature_dim", 768)),
+            num_expression_coeffs=int(cfg.dataset.get("num_expression_coeffs", 10)),
+            flat_hand_mean=bool(cfg.dataset.get("flat_hand_mean", False)))
 
     m = cfg.model
     tn = m.triplane_net

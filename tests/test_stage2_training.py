@@ -1,0 +1,149 @@
+"""Stage-2 (audio-driven) model + training tests, tiny config on CPU."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from audio_motion_avatar_tpu.data.synthetic import make_batch
+from audio_motion_avatar_tpu.models.audio_avatar import AudioDrivenAvatar
+from audio_motion_avatar_tpu.models.config import AvatarConfig
+from audio_motion_avatar_tpu.models.renderer import build_renderer_statics
+from audio_motion_avatar_tpu.ops import smplx as smplx_ops
+from audio_motion_avatar_tpu.parallel.collectives import cache_sync
+from audio_motion_avatar_tpu.training import stage2
+from audio_motion_avatar_tpu.training.train_state import (OptimConfig,
+                                                          TrainState,
+                                                          make_optimizer)
+
+CFG = AvatarConfig.tiny(image_size=(32, 32))
+SMPLX = smplx_ops.synthetic_model(seed=0, num_verts=300)
+STATICS = build_renderer_statics(SMPLX, subdivide_steps=0)
+NUM_VERTS_ENC = 300 + int(np.asarray(SMPLX.faces).shape[0])
+
+
+def jaxify(b):
+    return jax.tree_util.tree_map(jnp.asarray, b)
+
+
+def fresh(state):
+    # train steps donate the state; copy buffers so the shared fixture
+    # survives across tests
+    return jax.tree_util.tree_map(jnp.array, state)
+
+
+def make_batches(seed=0):
+    ref = jaxify(make_batch(1, CFG.triplane_input_frames, (32, 32), seed=seed))
+    tgt = jaxify(make_batch(1, CFG.triplane_output_frames, (32, 32),
+                            seed=seed + 100, with_audio=True,
+                            audio_dim=CFG.audio_feature_dim))
+    return ref, tgt
+
+
+@pytest.fixture(scope="module")
+def model_state():
+    model = AudioDrivenAvatar(cfg=CFG, num_verts_encoder=NUM_VERTS_ENC)
+    ref, tgt = make_batches(0)
+    variables = model.init(jax.random.PRNGKey(0), STATICS, ref.video,
+                           ref.smpl_parms, ref.cam_parms,
+                           tgt.audio_features, tgt.cam_parms)
+    from audio_motion_avatar_tpu.parallel.mesh import unbox
+    params = unbox(variables)["params"]
+    tx = make_optimizer(OptimConfig(learning_rate=1e-3, total_steps=100))
+    return model, TrainState.create(params, tx)
+
+
+def test_forward_shapes(model_state):
+    model, state = model_state
+    ref, tgt = make_batches(1)
+    out = model.apply({"params": state.params}, STATICS, ref.video,
+                      ref.smpl_parms, ref.cam_parms, tgt.audio_features,
+                      tgt.cam_parms)
+    T_out = CFG.triplane_output_frames
+    R = CFG.triplane_resolution
+    assert out.rendered_images.shape == (1, T_out, 32, 32, 3)
+    assert out.output_triplane_tokens.shape == (1, T_out, CFG.triplane_feature_dim, 3 * R * R)
+    assert out.output_smpl_tokens.shape == (1, T_out, CFG.smpl_token_dim, CFG.smpl_token_len)
+    assert out.pred_smplx_future["body_pose"].shape == (1, T_out, 21, 3)
+    assert np.isfinite(np.asarray(out.rendered_images)).all()
+
+
+def test_audio_changes_output(model_state):
+    model, state = model_state
+    ref, tgt = make_batches(2)
+    out1 = model.apply({"params": state.params}, STATICS, ref.video,
+                       ref.smpl_parms, ref.cam_parms, tgt.audio_features,
+                       tgt.cam_parms)
+    out2 = model.apply({"params": state.params}, STATICS, ref.video,
+                       ref.smpl_parms, ref.cam_parms,
+                       tgt.audio_features * 3.0 + 1.0, tgt.cam_parms)
+    d = np.abs(np.asarray(out1.output_triplane_tokens)
+               - np.asarray(out2.output_triplane_tokens)).max()
+    assert d > 1e-4, d
+
+
+def test_stage1_frozen_in_stage2(model_state):
+    """Gradients must NOT reach the stage-1 encoder/fusion (stop_gradient =
+    the reference's no_grad), but MUST reach the audio net and the shared
+    renderer."""
+    model, state = model_state
+    ref, tgt = make_batches(3)
+    loop = stage2.Stage2TrainLoop(model, STATICS, CFG, replacement_prob=0.0)
+
+    def loss_fn(params):
+        B = 1
+        S = 3 * CFG.triplane_resolution ** 2
+        zt = jnp.zeros((B, CFG.triplane_input_frames, CFG.triplane_feature_dim, S))
+        zs = jnp.zeros((B, CFG.triplane_input_frames, CFG.smpl_token_dim,
+                        CFG.smpl_token_len))
+        total, _ = stage2.stage2_loss(model, params, STATICS, ref, tgt,
+                                      zt, zs, jnp.zeros((B,)), CFG)
+        return total
+
+    grads = jax.grad(loss_fn)(state.params)
+    tg = grads["triplane_gaussian"]
+    enc = jax.tree_util.tree_leaves(tg["smplx_triplane_encoder"])
+    fus = jax.tree_util.tree_leaves(tg["fusion_network"])
+    # encoder gets grad ONLY through the shared smpl_decoder (used for the
+    # future decode); everything else must be zero.
+    enc_nondecoder = jax.tree_util.tree_leaves(
+        {k: v for k, v in tg["smplx_triplane_encoder"].items()
+         if k != "smpl_decoder"})
+    assert all(float(jnp.abs(g).max()) == 0.0 for g in enc_nondecoder)
+    assert all(float(jnp.abs(g).max()) == 0.0 for g in fus)
+    aud = jax.tree_util.tree_leaves(grads["audio_triplane"])
+    assert any(float(jnp.abs(g).max()) > 0 for g in aud)
+    ren = jax.tree_util.tree_leaves(tg["renderer"])
+    assert any(float(jnp.abs(g).max()) > 0 for g in ren)
+
+
+def test_train_loop_with_cache(model_state):
+    model, state = model_state
+    CFG2 = CFG
+    loop = stage2.Stage2TrainLoop(model, STATICS, CFG2, replacement_prob=1.0,
+                                  cache_sync=cache_sync)
+    ref, tgt = make_batches(4)
+    state = fresh(state)
+
+    # step at batch 0: cache miss, writes key 12
+    state, m0 = loop.run_step(state, ref, tgt, batch_id=0)
+    assert m0["cache_iter"] == 0.0
+    assert (0, 12) in loop.cache.store
+    # step at batch 12: cache HIT, self-feeding iter increments
+    state, m12 = loop.run_step(state, ref, tgt, batch_id=12)
+    assert (0, 24) in loop.cache.store
+    assert loop.cache.store[(0, 24)]["iter"] == 2
+    assert np.isfinite(m12["loss"])
+
+
+def test_loss_decreases(model_state):
+    model, state = model_state
+    loop = stage2.Stage2TrainLoop(model, STATICS, CFG, replacement_prob=0.0)
+    ref, tgt = make_batches(5)
+    state = fresh(state)
+    losses = []
+    for i in range(6):
+        state, m = loop.run_step(state, ref, tgt, batch_id=i)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
