@@ -1,0 +1,188 @@
+"""TED speech-video dataset (stage-2 training).
+
+Reads the reference's clip layout (reference:
+src/datasets/dataset_speech_vid.py):
+  <root_dir>/imgs_png/%05d.png         frames
+  <root_dir>/samurai_seg/%05d.png      SAM2-derived masks
+  <root_dir>/smplx_params/%05d.json    per-frame SMPLX (keys: betas, trans,
+                                       root_pose, body_pose, lhand_pose,
+                                       rhand_pose, jaw_pose, leye_pose,
+                                       reye_pose, focal, princpt)
+  <root_dir>/*.wav|*.mp3               speech track
+
+Per-item: a 2*clip_length stride-2 frame window (:147-293); identity
+extrinsic, intrinsic from focal/princpt (:306-317); mask-composed on white,
+bbox-cropped with 20% pad, square-padded, resized (:184-252). Audio features
+are computed once at init (models/audio_encoder.py replaces the torch
+Wav2Vec2 path :37-116). Collation follows collate_fn_speech
+(src/utils/data_utils.py:83-145): ref = frames [0, 1], target = last
+clip_length-2 frames with their audio features.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import numpy as np
+
+from .containers import VideoBatch
+
+
+def _load_rgba_on_white(img_path, mask_path):
+    from PIL import Image
+    img = np.asarray(Image.open(img_path).convert("RGB"), np.float32) / 255.0
+    if os.path.exists(mask_path):
+        m = np.asarray(Image.open(mask_path).convert("L"), np.float32) / 255.0
+        img = img * m[..., None] + (1.0 - m[..., None])
+    return img
+
+
+def _bbox_crop_square(img, mask=None, pad_frac=0.2):
+    H, W = img.shape[:2]
+    if mask is not None and mask.any():
+        ys, xs = np.where(mask > 0.5)
+        y0, y1 = ys.min(), ys.max()
+        x0, x1 = xs.min(), xs.max()
+    else:
+        y0, y1, x0, x1 = 0, H - 1, 0, W - 1
+    h, w = y1 - y0, x1 - x0
+    y0 = max(0, int(y0 - pad_frac * h))
+    y1 = min(H, int(y1 + pad_frac * h))
+    x0 = max(0, int(x0 - pad_frac * w))
+    x1 = min(W, int(x1 + pad_frac * w))
+    crop = img[y0:y1, x0:x1]
+    ch, cw = crop.shape[:2]
+    m = max(ch, cw)
+    out = np.ones((m, m, 3), np.float32)
+    oy, ox = (m - ch) // 2, (m - cw) // 2
+    out[oy:oy + ch, ox:ox + cw] = crop
+    return out, (y0, x0, oy, ox, m)
+
+
+class GaussianAudioDataset:
+    def __init__(self, cfg, split: str = "train"):
+        ds = cfg.dataset
+        root = ds.get("root_dir")
+        if not root or not os.path.isdir(str(root)):
+            raise FileNotFoundError(
+                f"TED speech root_dir not found: {root!r}. Configure "
+                "dataset.root_dir or use the synthetic dataset.")
+        self.root = str(root)
+        self.image_size = tuple(ds.image_size)
+        self.clip_length = int(ds.get("clip_length", 8))
+        self.frame_rate = float(ds.get("frame_rate", 24))
+        self.num_expr = int(ds.get("num_expression_coeffs", 10))
+        self.audio_dim = int(ds.get("audio_feature_dim", 768))
+
+        self.image_files = sorted(
+            glob.glob(os.path.join(self.root, "imgs_png", "*.png")))
+        if not self.image_files:
+            raise FileNotFoundError(f"no frames in {self.root}/imgs_png")
+
+        # ---- audio features once at init ----
+        from ..models.audio_encoder import (AudioFeatureExtractor,
+                                            resample_linear, SAMPLE_RATE)
+        wavs = (glob.glob(os.path.join(self.root, "*.wav"))
+                + glob.glob(os.path.join(self.root, "*.mp3")))
+        n_frames = len(self.image_files)
+        extractor = AudioFeatureExtractor(
+            model_path=ds.get("wav2vec2_model_path"), dim=self.audio_dim)
+        if wavs and wavs[0].endswith(".wav"):
+            import wave
+            with wave.open(wavs[0], "rb") as wf:
+                sr = wf.getframerate()
+                raw = np.frombuffer(wf.readframes(wf.getnframes()), np.int16)
+                if wf.getnchannels() > 1:
+                    raw = raw.reshape(-1, wf.getnchannels()).mean(-1)
+            wav = resample_linear(raw.astype(np.float32) / 32768.0, sr)
+        else:
+            wav = np.zeros(int(n_frames / self.frame_rate * SAMPLE_RATE),
+                           np.float32)
+        self.audio_features = extractor.features_per_video_frame(
+            wav, n_frames, self.frame_rate, self.clip_length)
+        self.audio_path = wavs[0] if wavs else None
+
+    def __len__(self):
+        # 2*clip_length window at stride 2 (dataset_speech_vid.py:147-150)
+        return max(0, (len(self.image_files) - 2 * self.clip_length) // 2 + 1)
+
+    def _frame_id(self, i):
+        return os.path.splitext(os.path.basename(self.image_files[i]))[0]
+
+    def _load_smplx(self, i):
+        fid = self._frame_id(i)
+        path = os.path.join(self.root, "smplx_params", f"{int(fid):05d}.json")
+        with open(path) as f:
+            p = json.load(f)
+
+        def arr(key, n):
+            v = np.asarray(p.get(key, np.zeros(n)), np.float32).reshape(-1)
+            out = np.zeros(n, np.float32)
+            out[: min(n, v.size)] = v[:n]
+            return out
+
+        params = {
+            "betas": arr("betas", 10),
+            "transl": arr("trans", 3),
+            "global_orient": arr("root_pose", 3),
+            "body_pose": arr("body_pose", 63),
+            "left_hand_pose": arr("lhand_pose", 45),
+            "right_hand_pose": arr("rhand_pose", 45),
+            "jaw_pose": arr("jaw_pose", 3),
+            "leye_pose": arr("leye_pose", 3),
+            "reye_pose": arr("reye_pose", 3),
+            "expression": arr("expression", self.num_expr),
+        }
+        focal = arr("focal", 2)
+        princpt = arr("princpt", 2)
+        return params, focal, princpt
+
+    def _load_frame(self, i):
+        fid = self._frame_id(i)
+        img_path = self.image_files[i]
+        mask_path = os.path.join(self.root, "samurai_seg", f"{int(fid):05d}.png")
+        img = _load_rgba_on_white(img_path, mask_path)
+        from PIL import Image
+        H, W = self.image_size
+        img = np.asarray(Image.fromarray(
+            (img * 255).astype(np.uint8)).resize((W, H)), np.float32) / 255.0
+        return img.transpose(2, 0, 1)
+
+    def __getitem__(self, idx):
+        start = idx * 2
+        frame_ids = list(range(start, start + 2 * self.clip_length, 2))
+
+        videos, smpls, Ks, Es, afs = [], [], [], [], []
+        for i in frame_ids:
+            params, focal, princpt = self._load_smplx(i)
+            videos.append(self._load_frame(i))
+            smpls.append(params)
+            K = np.array([[focal[0], 0, princpt[0]],
+                          [0, focal[1], princpt[1]], [0, 0, 1]], np.float32)
+            Ks.append(K)
+            Es.append(np.eye(4, dtype=np.float32))
+            afs.append(self.audio_features[min(i, len(self.audio_features) - 1)])
+
+        def build(sel, with_audio=False):
+            video = np.stack([videos[j] for j in sel])[None]
+            smpl = {k: np.stack([smpls[j][k] for j in sel])[None]
+                    for k in smpls[0]}
+            cam = {"intrinsic": np.stack([Ks[j] for j in sel])[None],
+                   "extrinsic": np.stack([Es[j] for j in sel])[None]}
+            audio = np.stack([afs[j] for j in sel])[None] if with_audio else None
+            return VideoBatch(video=video, smpl_parms=smpl, cam_parms=cam,
+                              width=self.image_size[1],
+                              height=self.image_size[0],
+                              audio_features=audio)
+
+        n = len(frame_ids)
+        ref = build([0, 1])
+        target = build(list(range(n - (self.clip_length - 2), n)),
+                       with_audio=True)
+        return ref, target, idx
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]

@@ -1,0 +1,173 @@
+"""Dataset loaders driven through tiny on-disk fixtures that mimic each real layout."""
+
+import json
+import os
+import pickle
+import wave
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from audio_motion_avatar_tpu.configs.loader import Config
+
+
+def _cfg(ds_dict, batch_size=1):
+    return Config.wrap({"dataset": ds_dict, "training": {"batch_size": batch_size}})
+
+
+def _save_png(path, h=32, w=32, val=128):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    Image.fromarray(np.full((h, w, 3), val, np.uint8)).save(path)
+
+
+# --------------------------- THuman ---------------------------
+
+def make_thuman_fixture(root):
+    for subj in ["0001", "0002"]:
+        base = os.path.join(root, subj, "12views_3")
+        os.makedirs(os.path.join(base, "calib"), exist_ok=True)
+        for v in range(4):
+            _save_png(os.path.join(base, "render", f"{v:03d}.png"))
+            E = np.eye(4)
+            E[2, 3] = 2.0 + 0.1 * v
+            with open(os.path.join(base, "calib", f"{v:03d}.json"), "w") as f:
+                json.dump({"extrinsic": E.tolist(),
+                           "intrinsic": [[500, 0, 16], [0, 500, 16], [0, 0, 1]]}, f)
+        np.save(os.path.join(base, "vertices.npy"),
+                np.random.rand(100, 3).astype(np.float32))
+        os.makedirs(os.path.join(root, "smplx", subj), exist_ok=True)
+        with open(os.path.join(root, "smplx", subj, "smplx_param.pkl"), "wb") as f:
+            pickle.dump({"body_pose": np.zeros(63), "betas": np.ones(10) * 0.1,
+                         "left_hand_pose": np.zeros(45),
+                         "right_hand_pose": np.zeros(45)}, f)
+
+
+def test_thuman(tmp_path):
+    from audio_motion_avatar_tpu.data.thuman import ThumanDataset
+    root = str(tmp_path / "thuman")
+    make_thuman_fixture(root)
+    cfg = _cfg({"image_size": [32, 32], "n_test": 3, "pcd_nums": 50,
+                "num_expression_coeffs": 10,
+                "dataset_root": root,
+                "smplx_params_path": os.path.join(root, "smplx")})
+    ds = ThumanDataset(cfg, "train")
+    assert len(ds) == 2
+    ref, test, idx = ds[0]
+    assert ref.video.shape == (1, 1, 3, 32, 32)
+    assert test.video.shape[1] == 2  # n_test-1 targets
+    assert ref.smpl_parms["betas"].shape == (1, 1, 10)
+    np.testing.assert_allclose(ref.smpl_parms["global_orient"], 0)
+    np.testing.assert_allclose(ref.smpl_parms["transl"][0, 0], [0, 0.35, 0])
+    assert ref.pcd_points.shape == (1, 50, 3)
+    assert test.cam_parms["extrinsic"].shape == (1, 2, 4, 4)
+
+
+def test_thuman_missing_root():
+    from audio_motion_avatar_tpu.data.thuman import ThumanDataset
+    cfg = _cfg({"image_size": [32, 32], "dataset_root": "/nonexistent"})
+    with pytest.raises(FileNotFoundError):
+        ThumanDataset(cfg, "train")
+
+
+# --------------------------- TED speech ---------------------------
+
+def make_speech_fixture(root, n_frames=20):
+    for i in range(n_frames):
+        _save_png(os.path.join(root, "imgs_png", f"{i:05d}.png"), 48, 40)
+        _save_png(os.path.join(root, "samurai_seg", f"{i:05d}.png"), 48, 40, 255)
+        params = {"betas": [0.1] * 10, "trans": [0, 0, 2.0],
+                  "root_pose": [0, 0, 0], "body_pose": [0.0] * 63,
+                  "lhand_pose": [0.0] * 45, "rhand_pose": [0.0] * 45,
+                  "jaw_pose": [0, 0, 0], "leye_pose": [0, 0, 0],
+                  "reye_pose": [0, 0, 0], "focal": [500, 500],
+                  "princpt": [20, 24]}
+        os.makedirs(os.path.join(root, "smplx_params"), exist_ok=True)
+        with open(os.path.join(root, "smplx_params", f"{i:05d}.json"), "w") as f:
+            json.dump(params, f)
+    # 1-second 16 kHz wav
+    with wave.open(os.path.join(root, "speech.wav"), "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(16000)
+        t = np.arange(16000) / 16000
+        wf.writeframes((np.sin(2 * np.pi * 440 * t) * 10000).astype(np.int16).tobytes())
+
+
+def test_speech(tmp_path):
+    from audio_motion_avatar_tpu.data.speech import GaussianAudioDataset
+    root = str(tmp_path / "ted")
+    make_speech_fixture(root)
+    cfg = _cfg({"image_size": [32, 32], "clip_length": 4, "frame_rate": 24,
+                "num_expression_coeffs": 10, "audio_feature_dim": 768,
+                "root_dir": root, "wav2vec2_model_path": None})
+    ds = GaussianAudioDataset(cfg, "train")
+    assert len(ds) >= 1
+    ref, target, idx = ds[0]
+    # ref = 2 frames, target = clip_length-2 = 2 frames with audio
+    assert ref.video.shape == (1, 2, 3, 32, 32)
+    assert target.video.shape == (1, 2, 3, 32, 32)
+    assert target.audio_features.shape == (1, 2, 768)
+    assert np.isfinite(target.audio_features).all()
+    assert target.smpl_parms["transl"].shape == (1, 2, 3)
+    # intrinsic built from focal/princpt
+    np.testing.assert_allclose(ref.cam_parms["intrinsic"][0, 0, 0, 0], 500)
+
+
+# --------------------------- IDOL ---------------------------
+
+def make_idol_fixture(tmp_path, n_scenes=2, n_views=6):
+    img_dir = tmp_path / "idol_imgs"
+    scenes = []
+    for s in range(n_scenes):
+        paths = []
+        for v in range(n_views):
+            p = str(img_dir / f"s{s}_v{v}.png")
+            _save_png(p, 32, 24)
+            paths.append(p)
+        scenes.append({
+            "img_paths": paths,
+            "smpl_param": np.random.rand(n_views, 189).astype(np.float32),
+            "intrinsic": np.tile(np.asarray([[300, 0, 12], [0, 300, 16],
+                                             [0, 0, 1]], np.float32),
+                                 (n_views, 1, 1)),
+            "extrinsic": np.tile(np.eye(4, dtype=np.float32), (n_views, 1, 1)),
+        })
+    cache = str(tmp_path / "cache_train.npy")
+    np.save(cache, np.asarray(scenes, dtype=object), allow_pickle=True)
+    return cache
+
+
+def test_idol(tmp_path):
+    from audio_motion_avatar_tpu.data.idol import AvatarDataset, unpack_smpl_189
+    cache = make_idol_fixture(tmp_path)
+    cfg = _cfg({"image_size": [32, 32], "specific_observation_num": 4,
+                "first_is_front": True, "better_range": True,
+                "cache_path_train": [cache]})
+    ds = AvatarDataset(cfg, "train")
+    assert len(ds) == 2
+    ref, test, idx = ds[0]
+    assert ref.video.shape == (1, 1, 3, 32, 32)
+    assert test.video.shape[1] == 3
+    assert ref.smpl_parms["body_pose"].shape == (1, 1, 63)
+    assert ref.smpl_parms["expression"].shape == (1, 1, 10)
+
+    v = np.arange(189, dtype=np.float32)
+    p = unpack_smpl_189(v)
+    np.testing.assert_allclose(p["transl"], [1, 2, 3])
+    np.testing.assert_allclose(p["global_orient"], [4, 5, 6])
+    assert p["body_pose"].shape == (63,)
+    assert p["expression"].shape == (10,)
+    np.testing.assert_allclose(p["expression"], np.arange(179, 189))
+
+
+def test_idol_error_fallback(tmp_path):
+    from audio_motion_avatar_tpu.data.idol import AvatarDataset
+    cache = make_idol_fixture(tmp_path)
+    cfg = _cfg({"image_size": [32, 32], "specific_observation_num": 4,
+                "cache_path_train": [cache]})
+    ds = AvatarDataset(cfg, "train")
+    # break scene 1 -> getitem(1) must fall back to scene 0
+    ds.scenes[1]["img_paths"] = ["/nonexistent.png"] * 6
+    ref, test, idx = ds[1]
+    assert ref.video.shape == (1, 1, 3, 32, 32)
