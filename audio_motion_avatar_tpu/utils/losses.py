@@ -138,3 +138,31 @@ def smplx_param_loss(pred_params: dict, gt_params: dict, weights: dict | None = 
         total = total + weights.get("transl", 1.0) * l_t
 
     return total, losses
+
+
+def chamfer_distance(x: jnp.ndarray, y: jnp.ndarray, chunk: int = 2048):
+    """Symmetric chamfer distance between point sets (B, N, 3) / (B, M, 3).
+
+    The pytorch3d `chamfer_distance` analog (imported at
+    lightning_model_wrapper.py:14; used by the commented-out point-cloud
+    loss :151-154). Chunked over N to bound the (N, M) distance block.
+    """
+
+    def one_dir(a, b):
+        # for each point in a: min squared distance to b
+        def body(i):
+            blk = jax.lax.dynamic_slice_in_dim(a, i, chunk, axis=0)
+            d = ((blk[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+            return d.min(axis=1)
+
+        n = a.shape[0]
+        n_chunks = (n + chunk - 1) // chunk
+        pad = n_chunks * chunk - n
+        a = jnp.pad(a, ((0, pad), (0, 0)))
+        mins = jax.lax.map(body, jnp.arange(n_chunks) * chunk)
+        return mins.reshape(-1)[:n].mean()
+
+    def per_batch(a, b):
+        return one_dir(a, b) + one_dir(b, a)
+
+    return jax.vmap(per_batch)(x, y).mean()

@@ -140,3 +140,43 @@ def test_projection_depth_and_validity():
         jnp.zeros((2, 3)), cam)
     np.testing.assert_allclose(np.asarray(proj.depth), [2.0, 0.1], atol=1e-6)
     assert bool(proj.valid[0]) and not bool(proj.valid[1])
+
+
+def test_sorted_binning_matches_topk_binning():
+    """bin_gaussians_sorted must produce identical images to the original
+    top_k binning (both = first-K depth-ordered overlapping gaussians)."""
+    for seed, bump in [(7, 0.0), (8, 2.0)]:
+        xyz, rot, s, o, c = scene(96, seed=seed)
+        s = s + bump
+        K, E = front_camera(64, 64)
+        from audio_motion_avatar_tpu.ops.cameras import make_camera
+        cam = make_camera(K, E, 64, 64)
+        proj = splat.project_gaussians(
+            xyz, rot, splat.activate_scales(s), splat.activate_opacity(o),
+            jnp.clip(c, 0, 1), cam)
+        img_a = np.asarray(splat.render_tiles(proj, 64, 64, max_per_tile=96,
+                                              binner="sorted"))
+        img_b = np.asarray(splat.render_tiles(proj, 64, 64, max_per_tile=96,
+                                              binner="topk"))
+        np.testing.assert_allclose(img_a, img_b, atol=1e-6)
+
+
+def test_sorted_binning_window_truncation():
+    """A gaussian whose bbox exceeds the 8x8-tile window is truncated in
+    sorted binning (documented deviation); full binning covers all tiles."""
+    xyz = jnp.asarray([[0.0, 0.0, 0.0]])
+    rot = jnp.asarray([[1.0, 0, 0, 0]])
+    s = jnp.full((1, 3), 5.5)  # clamped scale 0.1 world
+    o = jnp.asarray([2.0])
+    c = jnp.asarray([[1.0, 0.0, 0.0]])
+    # focal 1000 at dist 2 -> sigma ~50px, radius ~150px on a 256px image
+    K, E = front_camera(256, 256, focal=1000.0)
+    from audio_motion_avatar_tpu.ops.cameras import make_camera
+    cam = make_camera(K, E, 256, 256)
+    proj = splat.project_gaussians(
+        xyz, rot, splat.activate_scales(s), splat.activate_opacity(o), c, cam)
+    order, idx, mask = splat.bin_gaussians_sorted(proj, 256, 256, 4,
+                                                  max_window=8)
+    order2, idx2, mask2 = splat.bin_gaussians(proj, 256, 256, 4)
+    assert int(mask.sum()) == 64        # truncated to the 8x8 window
+    assert int(mask2.sum()) > 64        # full binning covers more tiles
