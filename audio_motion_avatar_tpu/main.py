@@ -110,7 +110,8 @@ def main(argv=None):
     from .training.trainer import Trainer
     train_step = stage1.make_train_step(model, statics, ac)
     eval_step = stage1.make_eval_step(model, statics, ac)
-    trainer = Trainer(cfg, train_step, eval_step)
+    render_fn = stage1.make_render_fn(model, statics)
+    trainer = Trainer(cfg, train_step, eval_step, render_fn=render_fn)
 
     if args.checkpoint:
         from .training.checkpoints import CheckpointManager

@@ -58,6 +58,8 @@ class AudioDrivenAvatar(nn.Module):
             head_dim=c.audio_transformer_head_dim,
             heads=c.audio_transformer_num_heads,
             audio_feature_dim=c.audio_feature_dim,
+            compute_dtype=(jnp.bfloat16 if c.compute_dtype == "bfloat16"
+                           else None),
             name="audio_triplane")
 
     def __call__(self, statics: RendererStatics,

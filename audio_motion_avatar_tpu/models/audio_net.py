@@ -89,6 +89,7 @@ class AudioTriplaneNet(nn.Module):
     head_dim: int = 64
     heads: int = 8
     audio_feature_dim: int = 768
+    compute_dtype: object = None
 
     @nn.compact
     def __call__(self, audio_features: jnp.ndarray,
@@ -108,6 +109,7 @@ class AudioTriplaneNet(nn.Module):
         transformer = Transformer1D(
             num_layers=self.layers, heads=self.heads, head_dim=self.head_dim,
             in_channels=self.feature_dim, context_dim=self.audio_feature_dim,
+            dtype=self.compute_dtype,
             name="transformer")
 
         tri_motion = tri_reducer(triplane_tokens)      # (B, C, S_tri)

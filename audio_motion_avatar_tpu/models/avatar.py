@@ -45,6 +45,8 @@ class TriplaneGaussianAvatar(nn.Module):
 
     def setup(self):
         c = self.cfg
+        import jax.numpy as _jnp
+        cdt = _jnp.bfloat16 if c.compute_dtype == "bfloat16" else None
         self.sapiens_encoder = SapiensEncoder(
             width=c.image_feature_dim, depth=c.vit_depth, heads=c.vit_heads,
             patch=c.vit_patch, resolution=c.sapiens_resolution,
@@ -66,6 +68,7 @@ class TriplaneGaussianAvatar(nn.Module):
             predict_smplx_params=c.predict_smplx_params,
             num_expression_coeffs=c.num_expression_coeffs,
             flat_hand_mean=c.flat_hand_mean,
+            compute_dtype=cdt,
             name="smplx_triplane_encoder")
         self.fusion_network = FeatureFusionNetwork(
             triplane_resolution=c.triplane_resolution,
@@ -74,6 +77,7 @@ class TriplaneGaussianAvatar(nn.Module):
             layers=c.cross_transformer_layers,
             head_dim=c.cross_transformer_head_dim,
             heads=c.cross_transformer_num_heads,
+            compute_dtype=cdt,
             name="fusion_network")
         self.renderer = Renderer(
             triplane_resolution=c.triplane_resolution,
@@ -88,6 +92,7 @@ class TriplaneGaussianAvatar(nn.Module):
             flat_hand_mean=c.flat_hand_mean,
             max_per_tile=c.max_per_tile,
             point_refiner=self.point_refiner,
+            compute_dtype=cdt,
             name="renderer")
 
     def __call__(self, statics: RendererStatics, images: jnp.ndarray,

@@ -66,6 +66,9 @@ class AvatarConfig:
     ptv3_patch_size: int = 512
     ptv3_grid_resolution: int = 100
     ptv3_output_dim: int = 256
+    # 'float32' | 'bfloat16' — compute dtype for the transformer/conv stacks
+    # (params stay fp32; geometry + splatting stay fp32 regardless)
+    compute_dtype: str = "float32"
 
     @classmethod
     def default(cls) -> "AvatarConfig":

@@ -23,6 +23,7 @@ class FeatureFusionNetwork(nn.Module):
     layers: int = 8
     head_dim: int = 64
     heads: int = 8
+    compute_dtype: object = None
 
     @nn.compact
     def __call__(self, geometry_planes: jnp.ndarray, image_tokens: jnp.ndarray,
@@ -44,6 +45,7 @@ class FeatureFusionNetwork(nn.Module):
         out = Transformer1D(
             num_layers=self.layers, heads=self.heads, head_dim=self.head_dim,
             in_channels=self.feature_dim, context_dim=self.image_feature_dim,
+            dtype=self.compute_dtype,
             name="transformer_cross")(combined, img)
 
         n_tri = tokens.shape[2]

@@ -73,11 +73,13 @@ class Renderer(nn.Module):
     flat_hand_mean: bool = False
     max_per_tile: int = 512
     point_refiner: Optional[Any] = None   # module: (points, feats) -> (B,N,256)
+    compute_dtype: Optional[Any] = None   # bf16 for the conv upsampler only
 
     def setup(self):
         if self.upsample_triplane:
             self.upsampler = TriplaneUpsampler(self.feature_dim,
                                                self.num_upsample_blocks,
+                                               dtype=self.compute_dtype,
                                                name="upsampler")
         if self.point_refiner is not None:
             self.refine_mlp = nn.Sequential([

@@ -69,6 +69,7 @@ class SMPLXTriplaneEncoder(nn.Module):
     predict_smplx_params: bool = True
     num_expression_coeffs: int = 10
     flat_hand_mean: bool = False
+    compute_dtype: object = None
 
     def setup(self):
         if self.predict_smplx_params:
@@ -81,6 +82,7 @@ class SMPLXTriplaneEncoder(nn.Module):
                 head_dim=self.smplx_transformer_head_dim,
                 in_channels=self.smpl_token_dim,
                 context_dim=self.image_feature_dim,
+                dtype=self.compute_dtype,
                 name="smpl_cross_attn")
             self.smpl_decoder = SMPLXDecoder(
                 token_dim=self.smpl_token_dim, token_len=self.smpl_token_len,

@@ -14,58 +14,71 @@ from __future__ import annotations
 import jax.numpy as jnp
 import flax.linen as nn
 
+from typing import Optional
+
 
 class ResBlock(nn.Module):
     out_channels: int
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         """x: (B, H, W, C) channel-last (native TPU conv layout)."""
         in_ch = x.shape[-1]
-        h = nn.GroupNorm(num_groups=32, name="norm1")(x)
+        h = nn.GroupNorm(num_groups=32, name="norm1", dtype=self.dtype)(x)
         h = nn.relu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv1")(h)
-        h = nn.GroupNorm(num_groups=32, name="norm2")(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv1",
+                    dtype=self.dtype)(h)
+        h = nn.GroupNorm(num_groups=32, name="norm2", dtype=self.dtype)(h)
         h = nn.relu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv2")(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv2",
+                    dtype=self.dtype)(h)
         skip = x if in_ch == self.out_channels else nn.Conv(
-            self.out_channels, (1, 1), name="skip")(x)
+            self.out_channels, (1, 1), name="skip", dtype=self.dtype)(x)
         return skip + h
 
 
 class UpsampleBlock(nn.Module):
     out_channels: int
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         up = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)  # nearest 2x
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv")(up)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv",
+                    dtype=self.dtype)(up)
         h = nn.relu(h)
-        return ResBlock(self.out_channels, name="res")(h)
+        return ResBlock(self.out_channels, name="res", dtype=self.dtype)(h)
 
 
 class TriplaneUpsampler(nn.Module):
     """N x (nearest-2x + conv + ResBlock) with a nearest-2x skip path
-    (renderer.py:377-417). 32 -> 32*2^N resolution."""
+    (renderer.py:377-417). 32 -> 32*2^N resolution. Computes in `dtype`
+    (bf16 recommended), returns float32."""
 
     feature_dim: int = 256
     num_blocks: int = 4
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, planes: jnp.ndarray) -> jnp.ndarray:
         """planes: (B, 3, C, H, W) -> (B, 3, C, H*2^N, W*2^N)."""
         B, P, C, H, W = planes.shape
         x = planes.reshape(B * P, C, H, W).transpose(0, 2, 3, 1)  # NHWC
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         # The skip path is a RUNNING buffer of the input, 1x1-projected once
         # then nearest-upsampled each step (renderer.py:390-413).
         skip = x
         for i in range(self.num_blocks):
-            up = UpsampleBlock(self.feature_dim, name=f"up_{i}")(x)
+            up = UpsampleBlock(self.feature_dim, name=f"up_{i}",
+                               dtype=self.dtype)(x)
             if i == 0:
-                skip = nn.Conv(self.feature_dim, (1, 1), name="skip_proj")(skip)
+                skip = nn.Conv(self.feature_dim, (1, 1), name="skip_proj",
+                               dtype=self.dtype)(skip)
             skip = jnp.repeat(jnp.repeat(skip, 2, axis=1), 2, axis=2)
             x = up + skip
-        out = x.transpose(0, 3, 1, 2)
+        out = x.astype(jnp.float32).transpose(0, 3, 1, 2)
         Hn, Wn = out.shape[-2:]
         return out.reshape(B, P, C, Hn, Wn)
 

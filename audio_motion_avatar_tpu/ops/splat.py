@@ -74,6 +74,22 @@ def compute_cov3d(quats: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("...ij,...kj->...ik", M, M)
 
 
+def _quat_rot_rows(quats: jnp.ndarray):
+    """wxyz quaternion -> the 9 rotation-matrix entries as (N,) vectors.
+
+    Elementwise-only: batched (N,3,3) matmuls lower terribly on TPU (tiny
+    contraction dims pad to the 128-wide MXU); all small-matrix algebra in
+    the projection is therefore expanded to scalar vector ops.
+    """
+    q = quats / jnp.clip(jnp.linalg.norm(quats, axis=-1, keepdims=True), 1e-8)
+    w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    return (
+        1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y),
+        2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x),
+        2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y),
+    )
+
+
 def project_gaussians(means3d: jnp.ndarray, quats: jnp.ndarray,
                       scales_act: jnp.ndarray, opacity_act: jnp.ndarray,
                       colors: jnp.ndarray, cam: Camera) -> Projected:
@@ -81,7 +97,11 @@ def project_gaussians(means3d: jnp.ndarray, quats: jnp.ndarray,
     W, H = cam.width, cam.height
     view = cam.view
     Rv = view[:3, :3]
-    t = means3d @ Rv.T + view[:3, 3]  # camera space (N, 3)
+    # camera-space transform, elementwise (no (N,3)@(3,3) tiny matmul)
+    mx, my_, mz = means3d[:, 0], means3d[:, 1], means3d[:, 2]
+    t = jnp.stack(
+        [Rv[i, 0] * mx + Rv[i, 1] * my_ + Rv[i, 2] * mz + view[i, 3]
+         for i in range(3)], axis=-1)
     tz = t[:, 2]
 
     fx = W / (2.0 * cam.tan_fovx)
@@ -103,19 +123,24 @@ def project_gaussians(means3d: jnp.ndarray, quats: jnp.ndarray,
     j02 = -fx * tx * inv_z * inv_z
     j11 = fy * inv_z
     j12 = -fy * ty * inv_z * inv_z
-    # M = J @ Rv : (N, 2, 3)
-    M = jnp.stack(
-        [
-            j00[:, None] * Rv[0][None, :] + j02[:, None] * Rv[2][None, :],
-            j11[:, None] * Rv[1][None, :] + j12[:, None] * Rv[2][None, :],
-        ],
-        axis=1,
-    )
-    cov3d = compute_cov3d(quats, scales_act)  # (N, 3, 3)
-    cov2d = jnp.einsum("nij,njk,nlk->nil", M, cov3d, M)  # (N, 2, 2)
-    cxx = cov2d[:, 0, 0] + COV_DILATION
-    cyy = cov2d[:, 1, 1] + COV_DILATION
-    cxy = cov2d[:, 0, 1]
+    # M rows as 6 (N,) vectors: m_a = j00*Rv[0] + j02*Rv[2], m_b = j11*Rv[1] + j12*Rv[2]
+    ma = [j00 * Rv[0, c] + j02 * Rv[2, c] for c in range(3)]
+    mb = [j11 * Rv[1, c] + j12 * Rv[2, c] for c in range(3)]
+
+    # cov2d = M (R S S^T R^T) M^T, fully expanded elementwise: with
+    # P = M @ (R*S)  (rows pa, pb of length 3), cov2d = P P^T.
+    r = _quat_rot_rows(quats)  # r[3*i+j] = R[i,j], each (N,)
+    s0, s1, s2 = scales_act[:, 0], scales_act[:, 1], scales_act[:, 2]
+    sc = (s0, s1, s2)
+    pa = [None] * 3
+    pb = [None] * 3
+    for j in range(3):
+        sj = sc[j]
+        pa[j] = (ma[0] * r[0 * 3 + j] + ma[1] * r[1 * 3 + j] + ma[2] * r[2 * 3 + j]) * sj
+        pb[j] = (mb[0] * r[0 * 3 + j] + mb[1] * r[1 * 3 + j] + mb[2] * r[2 * 3 + j]) * sj
+    cxx = pa[0] * pa[0] + pa[1] * pa[1] + pa[2] * pa[2] + COV_DILATION
+    cyy = pb[0] * pb[0] + pb[1] * pb[1] + pb[2] * pb[2] + COV_DILATION
+    cxy = pa[0] * pb[0] + pa[1] * pb[1] + pa[2] * pb[2]
 
     det = cxx * cyy - cxy * cxy
     det_safe = jnp.where(det <= 0, 1.0, det)
@@ -125,14 +150,16 @@ def project_gaussians(means3d: jnp.ndarray, quats: jnp.ndarray,
     lam = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
     radius = jnp.ceil(3.0 * jnp.sqrt(lam))
 
-    # Pixel-space centers via the NDC projection (ndc2Pix convention).
-    full = cam.proj @ cam.view
-    ph = means3d @ full[:3, :3].T + full[:3, 3]
-    pw = means3d @ full[3, :3] + full[3, 3]
+    # Pixel-space centers via the NDC projection (ndc2Pix convention),
+    # elementwise.
+    full = cam.proj @ cam.view  # (4,4) — host-scale, fine
+    px_clip = full[0, 0] * mx + full[0, 1] * my_ + full[0, 2] * mz + full[0, 3]
+    py_clip = full[1, 0] * mx + full[1, 1] * my_ + full[1, 2] * mz + full[1, 3]
+    pw = full[3, 0] * mx + full[3, 1] * my_ + full[3, 2] * mz + full[3, 3]
     pw_safe = jnp.where(jnp.abs(pw) < 1e-7, 1e-7, pw)
-    ndc = ph[:, :2] / pw_safe[:, None]
     mean2d = jnp.stack(
-        [(ndc[:, 0] + 1.0) * W * 0.5 - 0.5, (ndc[:, 1] + 1.0) * H * 0.5 - 0.5],
+        [(px_clip / pw_safe + 1.0) * W * 0.5 - 0.5,
+         (py_clip / pw_safe + 1.0) * H * 0.5 - 0.5],
         axis=-1,
     )
 

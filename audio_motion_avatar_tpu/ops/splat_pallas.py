@@ -158,7 +158,7 @@ composite_tiles.defvjp(_ct_fwd, _ct_bwd)
 
 def render_tiles_pallas(proj: splat.Projected, width: int, height: int,
                         max_per_tile: int = 512, interpret: bool = False,
-                        binner: str = "sorted") -> jnp.ndarray:
+                        binner: str = "sorted", max_window: int = 8) -> jnp.ndarray:
     """Full tile renderer with the Pallas compositing kernel.
 
     Semantics identical to splat.render_tiles with bg=(1,1,1).
@@ -167,9 +167,12 @@ def render_tiles_pallas(proj: splat.Projected, width: int, height: int,
     tx = width // TILE
     ty = height // TILE
 
-    bin_fn = (splat.bin_gaussians_sorted if binner == "sorted"
-              else splat.bin_gaussians)
-    order, tile_idx, tile_mask = bin_fn(proj, width, height, max_per_tile)
+    if binner == "sorted":
+        order, tile_idx, tile_mask = splat.bin_gaussians_sorted(
+            proj, width, height, max_per_tile, max_window=max_window)
+    else:
+        order, tile_idx, tile_mask = splat.bin_gaussians(proj, width, height,
+                                                         max_per_tile)
     mean2d = proj.mean2d[order]
     conic = proj.conic[order]
     color = proj.color[order]

@@ -101,3 +101,17 @@ def make_eval_step(model, statics, cfg):
 def optax_global_norm(tree):
     leaves = jax.tree_util.tree_leaves(tree)
     return jnp.sqrt(sum(jnp.sum(x * x) for x in leaves))
+
+
+def make_render_fn(model, statics):
+    """(params, ref_batch) -> (rendered, target) for the trainer's periodic
+    side-by-side dumps (lightning_model_wrapper.py:173-215)."""
+
+    @jax.jit
+    def fn(params, ref_batch):
+        out = model.apply({"params": params}, statics, ref_batch.video,
+                          ref_batch.smpl_parms, ref_batch.cam_parms)
+        target = jnp.transpose(ref_batch.video, (0, 1, 3, 4, 2))
+        return out.rendered_images, target
+
+    return fn

@@ -27,11 +27,23 @@ def jaxify(batch):
 
 
 class MetricLogger:
-    """TensorBoard scalars + console, rank-0 only."""
+    """TensorBoard (default) or wandb scalars, rank-0 only
+    (trainer_factory.py:50-70 logger selection)."""
 
-    def __init__(self, log_dir: str, use_tb: bool = True):
+    def __init__(self, log_dir: str, use_tb: bool = True, use_wandb: bool = False,
+                 wandb_project: str = "audio_motion_avatar",
+                 wandb_run_name: Optional[str] = None):
         self.writer = None
-        if use_tb:
+        self.wandb = None
+        if use_wandb:
+            try:
+                import wandb
+                self.wandb = wandb
+                wandb.init(project=wandb_project, name=wandb_run_name,
+                           dir=log_dir)
+            except Exception as e:  # wandb absent / offline
+                print(f"[logger] wandb unavailable ({e}); falling back to TB")
+        if self.wandb is None and use_tb:
             try:
                 from torch.utils.tensorboard import SummaryWriter
                 self.writer = SummaryWriter(log_dir)
@@ -39,14 +51,18 @@ class MetricLogger:
                 self.writer = None
 
     def log(self, step: int, metrics: dict, prefix: str = "train"):
-        for k, v in metrics.items():
-            v = float(v)
-            if self.writer is not None:
-                self.writer.add_scalar(f"{prefix}/{k}", v, step)
+        scalars = {f"{prefix}/{k}": float(v) for k, v in metrics.items()}
+        if self.wandb is not None:
+            self.wandb.log(scalars, step=step)
+        elif self.writer is not None:
+            for k, v in scalars.items():
+                self.writer.add_scalar(k, v, step)
 
     def close(self):
         if self.writer is not None:
             self.writer.close()
+        if self.wandb is not None:
+            self.wandb.finish()
 
 
 def save_comparison_image(path: str, rendered: np.ndarray, target: np.ndarray):
@@ -65,11 +81,16 @@ def save_comparison_image(path: str, rendered: np.ndarray, target: np.ndarray):
 
 class Trainer:
     def __init__(self, cfg, train_step: Callable, eval_step: Optional[Callable],
-                 output_dir: Optional[str] = None):
+                 output_dir: Optional[str] = None,
+                 render_fn: Optional[Callable] = None):
+        """render_fn(params, ref_batch) -> (rendered (B,T,H,W,3), target
+        (B,T,H,W,3)) used for the periodic side-by-side dumps
+        (lightning_model_wrapper.py:168-169)."""
         t = cfg.training
         self.cfg = cfg
         self.train_step = train_step
         self.eval_step = eval_step
+        self.render_fn = render_fn
         self.max_epochs = int(t.get("max_epochs", 1))
         self.fast_dev_run = bool(t.get("fast_dev_run", False))
         self.log_every = int(t.get("logging", {}).get("log_every_n_steps", 10))
@@ -80,8 +101,13 @@ class Trainer:
 
         self.output_dir = output_dir or t.get("output_dir", "outputs")
         os.makedirs(self.output_dir, exist_ok=True)
+        log_cfg = t.get("logging", {})
         self.logger = MetricLogger(os.path.join(self.output_dir, "tb"),
-                                   use_tb=not self.fast_dev_run)
+                                   use_tb=not self.fast_dev_run,
+                                   use_wandb=bool(log_cfg.get("use_wandb", False)),
+                                   wandb_project=log_cfg.get("wandb_project",
+                                                             "audio_motion_avatar"),
+                                   wandb_run_name=log_cfg.get("wandb_run_name"))
         self.ckpt = None
         if not self.fast_dev_run:
             self.ckpt = CheckpointManager(
@@ -122,6 +148,13 @@ class Trainer:
                         self.logger.log(global_step, metrics, "train")
                         print(f"[e{epoch} s{global_step}] " +
                               " ".join(f"{k}={v:.4f}" for k, v in metrics.items()))
+                    if (self.render_fn is not None
+                            and global_step % self.image_every == 0):
+                        rendered, target = self.render_fn(state.params, ref)
+                        save_comparison_image(
+                            os.path.join(self.output_dir, "train_images",
+                                         f"comparison_{global_step}.png"),
+                            np.asarray(rendered[0]), np.asarray(target[0]))
                     global_step += 1
                     if self.fast_dev_run:
                         break
