@@ -74,6 +74,8 @@ class Renderer(nn.Module):
     max_per_tile: int = 512
     point_refiner: Optional[Any] = None   # module: (points, feats) -> (B,N,256)
     compute_dtype: Optional[Any] = None   # bf16 for the conv upsampler only
+    splat_mode: str = "pallas"            # 'pallas' | 'tiles' | 'naive'
+    splat_max_window: int = 4             # sorted-binning tile window
 
     def setup(self):
         if self.upsample_triplane:
@@ -117,28 +119,16 @@ class Renderer(nn.Module):
             verts = jnp.take(verts, jnp.asarray(statics.subselect), axis=-2)
         return verts
 
-    def __call__(self, statics: RendererStatics, triplane_tokens: jnp.ndarray,
-                 cam_params: dict, smpl_params: dict,
-                 render: bool = True):
-        """triplane_tokens: (B, T, C, 3*R*R); smpl_params: (B, T, ...) dict
-        (already decoded — the shared SMPLXDecoder lives in the Avatar).
-
-        Returns (rendered (B,T,H,W,3) or None, gaussians dict (BT,N,...)).
-        """
-        B, T = triplane_tokens.shape[:2]
-        BT = B * T
-        planes = tokens_to_planes(
-            triplane_tokens.reshape(BT, *triplane_tokens.shape[2:]),
-            self.triplane_resolution)  # (BT, 3, C, R, R)
-
+    def _render_frame(self, planes_lr: jnp.ndarray, points: jnp.ndarray,
+                      transl: jnp.ndarray, K: jnp.ndarray, E: jnp.ndarray,
+                      render: bool):
+        """One frame: (1,3,C,R,R) low-res planes + (1,N,3) body points ->
+        (gaussians dict (1,N,...), image (H,W,3) or zeros)."""
+        planes = planes_lr
         if self.upsample_triplane:
             planes = self.upsampler(planes)
 
-        flat_params = flatten_params(smpl_params)
-        points = self.get_vertices(statics, flat_params)  # (BT, N, 3)
-
-        feats = sample_triplane(planes, points, self.radius)  # (BT, N, 3C)
-
+        feats = sample_triplane(planes, points, self.radius)  # (1, N, 3C)
         if self.point_refiner is not None:
             point_feats = self.point_refiner(points, feats)
             offsets = self.refine_mlp(point_feats)
@@ -153,7 +143,6 @@ class Renderer(nn.Module):
         shs = self.shs_layer(dec_in)
 
         # construct_gaussians (renderer.py:319-346)
-        transl = flat_params["transl"].reshape(BT, 1, 3)
         rot = rot / jnp.clip(jnp.linalg.norm(rot, axis=-1, keepdims=True), 1e-8)
         gaussians = {
             "xyz": points + xyz_off + transl,
@@ -162,14 +151,58 @@ class Renderer(nn.Module):
             "opacity": opacity,
             "color": jax.nn.sigmoid(shs),
         }
+        if render:
+            mode = self.splat_mode
+            if mode == "pallas" and jax.default_backend() != "tpu":
+                mode = "tiles"  # Mosaic kernels only lower on TPU
+            img = splat.render_one(
+                gaussians["xyz"][0], gaussians["rot"][0], gaussians["scale"][0],
+                gaussians["opacity"][0, :, 0], gaussians["color"][0],
+                K, E, self.image_width, self.image_height,
+                max_per_tile=self.max_per_tile,
+                mode=mode, max_window=self.splat_max_window)
+        else:
+            img = jnp.zeros((self.image_height, self.image_width, 3))
+        return gaussians, img
+
+    def __call__(self, statics: RendererStatics, triplane_tokens: jnp.ndarray,
+                 cam_params: dict, smpl_params: dict,
+                 render: bool = True):
+        """triplane_tokens: (B, T, C, 3*R*R); smpl_params: (B, T, ...) dict
+        (already decoded — the shared SMPLXDecoder lives in the Avatar).
+
+        Returns (rendered (B,T,H,W,3) or None, gaussians dict (BT,N,...)).
+
+        Frames are processed through an nn.scan so only ONE frame's
+        upsampled planes (3 x C x 512^2 at full scale) are live at a time —
+        the whole-batch formulation OOMs a 16GB chip at T=6.
+        """
+        B, T = triplane_tokens.shape[:2]
+        BT = B * T
+        planes_lr = tokens_to_planes(
+            triplane_tokens.reshape(BT, *triplane_tokens.shape[2:]),
+            self.triplane_resolution)  # (BT, 3, C, R, R)
+
+        flat_params = flatten_params(smpl_params)
+        points = self.get_vertices(statics, flat_params)  # (BT, N, 3)
+        transl = flat_params["transl"].reshape(BT, 1, 3)
+        Ks = cam_params["intrinsic"].reshape(BT, 3, 3)
+        Es = cam_params["extrinsic"].reshape(BT, 4, 4)
+
+        def frame(mdl, carry, x):
+            pl, pts, tr, K, E = x
+            g, img = mdl._render_frame(pl[None], pts[None], tr[None], K, E,
+                                       render)
+            return carry, (g, img)
+
+        scan = nn.scan(frame, variable_broadcast="params",
+                       split_rngs={"params": False}, in_axes=0, out_axes=0)
+        _, (gaussians, images) = scan(self, None,
+                                      (planes_lr, points, transl, Ks, Es))
+        gaussians = {k: v[:, 0] for k, v in gaussians.items()}  # (BT, N, ...)
         gaussians["shs"] = gaussians["color"]
 
         rendered = None
         if render:
-            rendered = splat.render_batch(
-                {k: v.reshape((B, T) + v.shape[1:]) for k, v in gaussians.items()
-                 if k != "shs"},
-                cam_params["intrinsic"], cam_params["extrinsic"],
-                self.image_width, self.image_height,
-                max_per_tile=self.max_per_tile)
+            rendered = images.reshape(B, T, *images.shape[1:])
         return rendered, gaussians

@@ -61,9 +61,10 @@ def lift_image_features(points: jnp.ndarray, extrinsic: jnp.ndarray,
         zbuf = jax.ops.segment_min(depth, pix, num_segments=H * W + 1)
         visible = inb & (depth <= zbuf[pix] + z_eps)
 
-        feat_hw = feat.reshape(C, H * W)
+        # channel-contiguous gather (see ops/triplane.py TPU note)
+        feat_rows = jnp.transpose(feat.reshape(C, H * W), (1, 0))
         px_c = jnp.clip(pix, 0, H * W - 1)
-        sampled = feat_hw[:, px_c].T  # (N, C)
+        sampled = jnp.take(feat_rows, px_c, axis=0)  # (N, C)
         return jnp.where(visible[:, None], sampled, 0.0)
 
     return jax.vmap(one)(points, extrinsic, intrinsic, image_features)

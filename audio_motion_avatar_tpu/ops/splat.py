@@ -411,9 +411,12 @@ def render_one(xyz: jnp.ndarray, rot: jnp.ndarray, raw_scales: jnp.ndarray,
                raw_opacity: jnp.ndarray, colors: jnp.ndarray,
                K: jnp.ndarray, E: jnp.ndarray, width: int, height: int,
                bg_color=(1.0, 1.0, 1.0), max_per_tile: int = 512,
-               mode: str = "tiles") -> jnp.ndarray:
+               mode: str = "tiles", max_window: int = 8) -> jnp.ndarray:
     """Single-view render with the reference's activations
     (renderer.py:481-569). colors are final RGB in [0,1] (args.rgb=True path).
+
+    mode: 'pallas' (TPU kernel; fastest, not vmappable), 'tiles' (XLA,
+    vmap-safe), 'naive' (gold reference, test sizes only).
     """
     cam = make_camera(K, E, width, height)
     proj = project_gaussians(
@@ -422,7 +425,13 @@ def render_one(xyz: jnp.ndarray, rot: jnp.ndarray, raw_scales: jnp.ndarray,
         jnp.clip(colors, 0.0, 1.0), cam)
     if mode == "naive":
         return render_naive(proj, width, height, bg_color)
-    return render_tiles(proj, width, height, bg_color, max_per_tile=max_per_tile)
+    if mode == "pallas":
+        from . import splat_pallas
+        return splat_pallas.render_tiles_pallas(
+            proj, width, height, max_per_tile=max_per_tile,
+            max_window=max_window)
+    return render_tiles(proj, width, height, bg_color,
+                        max_per_tile=max_per_tile)
 
 
 @partial(jax.jit, static_argnames=("width", "height", "max_per_tile", "mode"))

@@ -101,8 +101,13 @@ def grid_sample_2d(feat: jnp.ndarray, grid_xy: jnp.ndarray) -> jnp.ndarray:
 
     feat: (C, H, W); grid_xy: (N, 2) in [-1, 1], [:,0]=x (width), [:,1]=y (height).
     Returns (N, C).
+
+    TPU note: taps gather CHANNEL-CONTIGUOUS rows from an (H*W, C) view —
+    a channel-first gather (C strided loads per tap) is an order of
+    magnitude slower on TPU.
     """
     C, H, W = feat.shape
+    feat_rows = jnp.transpose(feat, (1, 2, 0)).reshape(H * W, C)
     x = (grid_xy[:, 0] + 1.0) * (W * 0.5) - 0.5
     y = (grid_xy[:, 1] + 1.0) * (H * 0.5) - 0.5
     x0 = jnp.floor(x)
@@ -114,10 +119,10 @@ def grid_sample_2d(feat: jnp.ndarray, grid_xy: jnp.ndarray) -> jnp.ndarray:
 
     def tap(xi, yi, w):
         inb = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
-        xc = jnp.clip(xi, 0, W - 1).astype(jnp.int32)
-        yc = jnp.clip(yi, 0, H - 1).astype(jnp.int32)
-        vals = feat[:, yc, xc]  # (C, N)
-        return vals * (w * inb)[None, :]
+        xc = jnp.clip(xi, 0, W - 1)
+        yc = jnp.clip(yi, 0, H - 1)
+        vals = jnp.take(feat_rows, yc * W + xc, axis=0)  # (N, C) contiguous
+        return vals * (w * inb)[:, None]
 
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
@@ -127,7 +132,7 @@ def grid_sample_2d(feat: jnp.ndarray, grid_xy: jnp.ndarray) -> jnp.ndarray:
         + tap(x0i, y0i + 1, wx0 * wy1)
         + tap(x0i + 1, y0i + 1, wx1 * wy1)
     )
-    return out.T  # (N, C)
+    return out  # (N, C)
 
 
 def sample_triplane(planes: jnp.ndarray, points: jnp.ndarray, radius: float) -> jnp.ndarray:
