@@ -41,11 +41,20 @@ def _dense(features: int, axes, use_bias: bool = True, name: Optional[str] = Non
     )
 
 
+FLASH_MIN_SEQ = 1024  # below this, materialized attention is fine
+
+
 class Attention(nn.Module):
     """Multi-head attention, optionally cross (kv from `context`).
 
     Mirrors diffusers.Attention wiring: no qkv bias, output projection with
     bias, scale = head_dim**-0.5.
+
+    Long self-attention sequences on TPU route through the Pallas flash
+    attention kernel (never materializes the S x S logits — at the audio
+    rollout's 6304 tokens those are ~640MB/layer of HBM traffic otherwise).
+    This is the TPU answer to the reference's xformers/flash-attn toggles
+    (transformers.py:31-90).
     """
 
     heads: int
@@ -53,10 +62,13 @@ class Attention(nn.Module):
     out_dim: int
     context_dim: Optional[int] = None
     dtype: Optional[Dtype] = None
+    use_flash: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None,
                  mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        import jax
+
         inner = self.heads * self.head_dim
         kv_src = x if context is None else context
         q = _dense(inner, ("embed", "heads"), use_bias=False, name="q", dtype=self.dtype)(x)
@@ -68,14 +80,45 @@ class Attention(nn.Module):
         q = q.reshape(B, S, self.heads, self.head_dim)
         k = k.reshape(B, T, self.heads, self.head_dim)
         v = v.reshape(B, T, self.heads, self.head_dim)
-
         scale = self.head_dim ** -0.5
-        logits = jnp.einsum("bshd,bthd->bhst", q, k) * scale
-        if mask is not None:
-            logits = logits + mask
-        probs = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(logits.dtype)
-        out = jnp.einsum("bhst,bthd->bshd", probs, v).reshape(B, S, inner)
+
+        flash_ok = (self.use_flash and mask is None and context is None
+                    and S >= FLASH_MIN_SEQ
+                    and jax.default_backend() == "tpu")
+        if flash_ok:
+            out = self._flash(q, k, v, scale)
+        else:
+            logits = jnp.einsum("bshd,bthd->bhst", q, k) * scale
+            if mask is not None:
+                logits = logits + mask
+            probs = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(logits.dtype)
+            out = jnp.einsum("bhst,bthd->bshd", probs, v)
+        out = out.reshape(B, S, inner)
         return _dense(self.out_dim, ("heads", "embed"), name="out", dtype=self.dtype)(out)
+
+    @staticmethod
+    def _flash(q, k, v, scale):
+        """(B, S, H, D) -> (B, S, H, D) via the Pallas TPU kernel; pads the
+        sequence to a block multiple with segment-id masking."""
+        from jax.experimental.pallas.ops.tpu import flash_attention as fa
+
+        B, S, H, D = q.shape
+        BLOCK = 512
+        Sp = ((S + BLOCK - 1) // BLOCK) * BLOCK
+        pad = Sp - S
+
+        def p(t):
+            return jnp.pad(t, ((0, 0), (0, pad), (0, 0), (0, 0)))
+
+        qh = p(q).transpose(0, 2, 1, 3)  # (B, H, Sp, D)
+        kh = p(k).transpose(0, 2, 1, 3)
+        vh = p(v).transpose(0, 2, 1, 3)
+        seg = jnp.where(jnp.arange(Sp) < S, 1, 2).astype(jnp.int32)
+        seg = jnp.broadcast_to(seg[None], (B, Sp))
+        out = fa.flash_attention(qh, kh, vh,
+                                 segment_ids=fa.SegmentIds(q=seg, kv=seg),
+                                 sm_scale=scale)
+        return out.transpose(0, 2, 1, 3)[:, :S]
 
 
 class GEGLUFeedForward(nn.Module):
