@@ -124,7 +124,8 @@ def main(argv=None):
     if args.mode == "train":
         trainer.fit(state, train_data, val_data, resume=args.resume)
     elif args.mode in ("test", "predict"):
-        metrics = trainer.validate(state, val_data or train_data)
+        metrics = trainer.validate(state, val_data or train_data,
+                                   save_images=True)
         print("[main] eval:", {k: round(v, 5) for k, v in metrics.items()})
     print("[main] done.")
 

@@ -191,20 +191,32 @@ def main(argv=None):
             model, statics, ac,
             replacement_prob=float(cfg.training.get("cache_replacement_prob", 0.0)),
             cache_sync=cache_sync)
-        max_epochs = 1 if cfg.training.get("fast_dev_run") else int(cfg.training.max_epochs)
+        fast = bool(cfg.training.get("fast_dev_run"))
+        max_epochs = 1 if fast else int(cfg.training.max_epochs)
+        ckpt_mgr = None
+        if not fast:
+            from .training.checkpoints import CheckpointManager
+            ckpt_mgr = CheckpointManager(
+                os.path.join(cfg.training.output_dir, "checkpoints"),
+                max_to_keep=int(cfg.training.get("validation", {}).get("save_top_k", 3)) + 1)
+            if args.resume:
+                state, ok = ckpt_mgr.restore(state)
+                print(f"[main2] resume: {'ok' if ok else 'no checkpoint'}")
+        import jax, jax.numpy as jnp
+        jx = lambda b: jax.tree_util.tree_map(jnp.asarray, b)
         step = 0
         for epoch in range(max_epochs):
             for ref, tgt, bid in train_data:
-                import jax, jax.numpy as jnp
-                jx = lambda b: jax.tree_util.tree_map(jnp.asarray, b)
                 state, metrics = loop.run_step(state, jx(ref), jx(tgt), bid)
                 if step % 10 == 0:
                     print(f"[e{epoch} s{step}] " +
                           " ".join(f"{k}={float(v):.4f}" for k, v in metrics.items()))
                 step += 1
-                if cfg.training.get("fast_dev_run"):
+                if fast:
                     break
-            if cfg.training.get("fast_dev_run"):
+            if ckpt_mgr is not None:
+                ckpt_mgr.save(step, state)
+            if fast:
                 break
         print("[main2] training done")
     elif args.mode == "demo":
@@ -217,12 +229,20 @@ def main(argv=None):
         import jax, jax.numpy as jnp
         jx = lambda b: jax.tree_util.tree_map(jnp.asarray, b)
         from .utils import losses as L
+        from .training.trainer import save_comparison_image
+        out_dir = os.path.join(cfg.training.output_dir, "predict_results")
         tot, n = 0.0, 0
         for ref, tgt, bid in data:
             ref, tgt = jx(ref), jx(tgt)
             rendered, _, _ = pred(state.params, ref, tgt)
             tot += float(L.l1_loss(rendered,
                                    jnp.transpose(tgt.video, (0, 1, 3, 4, 2))))
+            if n < 4:  # prediction comparison dumps (predict_step :607-623)
+                import numpy as _np
+                save_comparison_image(
+                    os.path.join(out_dir, f"audio_comparison_{n}.png"),
+                    _np.asarray(rendered[0]),
+                    _np.asarray(jnp.transpose(tgt.video, (0, 1, 3, 4, 2))[0]))
             n += 1
         print(f"[main2] test l1={tot / max(n, 1):.5f} over {n} batches")
 

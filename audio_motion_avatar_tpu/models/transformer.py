@@ -7,9 +7,9 @@ to conditioning tokens, GEGLU feed-forward, channel-first (B, C, S) in/out
 with GroupNorm + proj residual wrapper.
 
 TPU-first choices:
-  * attention is one fused dot-product-attention einsum chain — no xformers
-    toggle, no flash-attn import; XLA fuses softmax(QK^T)V onto the MXU at
-    these sequence lengths (<= 4096).
+  * attention defaults to one fused dot-product-attention einsum chain (XLA
+    fuses softmax(QK^T)V onto the MXU at these sequence lengths); an opt-in
+    Pallas flash-attention path exists for long self-attention.
   * every weight carries flax LOGICAL AXIS names so the same module runs
     replicated on one chip or tensor-parallel over a 'model' mesh axis via
     parallel/mesh.py rules ('embed' stays replicated, 'heads'/'mlp' shard).
@@ -62,7 +62,10 @@ class Attention(nn.Module):
     out_dim: int
     context_dim: Optional[int] = None
     dtype: Optional[Dtype] = None
-    use_flash: bool = True
+    # Flash kernel measured SLOWER than XLA attention at the rollout's
+    # (B=1, H=8, S=6304, D=64) shape on v5e (block sizes untuned) — opt-in
+    # until tuned.
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None,

@@ -170,15 +170,24 @@ class Trainer:
         self.logger.close()
         return state
 
-    def validate(self, state, val_data) -> dict:
+    def validate(self, state, val_data, save_images: bool = False) -> dict:
         if self.eval_step is None:
             return {}
         agg, n = {}, 0
         for batch in val_data:
             ref, test, _ = batch
-            m = self.eval_step(state.params, jaxify(ref), jaxify(test))
+            ref = jaxify(ref)
+            m = self.eval_step(state.params, ref, jaxify(test))
             for k, v in m.items():
                 agg[k] = agg.get(k, 0.0) + float(v)
+            if save_images and self.render_fn is not None:
+                # reference test_step comparison dumps
+                # (lightning_model_wrapper.py:283,291-333)
+                rendered, target = self.render_fn(state.params, ref)
+                save_comparison_image(
+                    os.path.join(self.output_dir, "test_images",
+                                 f"triplane_comparison_{n}.png"),
+                    np.asarray(rendered[0]), np.asarray(target[0]))
             n += 1
             if self.fast_dev_run:
                 break

@@ -61,11 +61,14 @@ def main():
 
         return jax.lax.fori_loop(0, FRAMES, body, 0.0)
 
-    jax.block_until_ready(render_frames(xyz, raw_s, raw_o, col))  # compile
+    # NOTE: on this environment block_until_ready does not reliably block
+    # (async relay); converting the scalar result to a python float forces a
+    # real device->host sync, so every rep is fenced by float().
+    float(render_frames(xyz, raw_s, raw_o, col))  # compile + sync
     reps = 3
     t0 = time.time()
     for _ in range(reps):
-        jax.block_until_ready(render_frames(xyz, raw_s, raw_o, col))
+        float(render_frames(xyz, raw_s, raw_o, col))
     dt = (time.time() - t0) / (reps * FRAMES)
     fps = 1.0 / dt
 
