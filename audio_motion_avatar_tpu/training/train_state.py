@@ -27,6 +27,10 @@ class OptimConfig:
     weight_decay: float = 0.0
     grad_clip: float = 1.0
     accumulate_steps: int = 1
+    # Failure containment the reference lacks (SURVEY §5 "no sanitizers"):
+    # skip updates whose grads are non-finite instead of poisoning params.
+    nan_guard: bool = True
+    nan_guard_max_consecutive: int = 10
 
 
 def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
@@ -42,6 +46,8 @@ def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
     else:
         chain.append(optax.adam(schedule, b1=cfg.betas[0], b2=cfg.betas[1]))
     tx = optax.chain(*chain)
+    if cfg.nan_guard:
+        tx = optax.apply_if_finite(tx, cfg.nan_guard_max_consecutive)
     if cfg.accumulate_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=cfg.accumulate_steps)
     return tx

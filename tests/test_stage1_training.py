@@ -83,3 +83,20 @@ def test_data_parallel_mesh():
         state = jax.device_put(state, pmesh.replicated(mesh))
         state, metrics = step(state, ref, test)
         assert np.isfinite(float(metrics["loss"]))
+
+
+def test_nan_guard_skips_bad_update():
+    """Non-finite grads must leave params unchanged (optax.apply_if_finite)."""
+    from audio_motion_avatar_tpu.training.train_state import (OptimConfig,
+                                                              TrainState,
+                                                              make_optimizer)
+    tx = make_optimizer(OptimConfig(learning_rate=0.1, total_steps=10,
+                                    nan_guard=True))
+    params = {"w": jnp.ones(3)}
+    state = TrainState.create(params, tx)
+    bad = {"w": jnp.asarray([jnp.nan, 1.0, 1.0])}
+    state = state.apply_gradients(bad)
+    np.testing.assert_allclose(np.asarray(state.params["w"]), 1.0)
+    good = {"w": jnp.ones(3)}
+    state = state.apply_gradients(good)
+    assert float(jnp.abs(state.params["w"] - 1.0).max()) > 1e-4
