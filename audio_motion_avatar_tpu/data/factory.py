@@ -39,6 +39,12 @@ class DatasetFactory:
 
     @staticmethod
     def create_dataloader(cfg, split: str = "train"):
-        """Datasets here ARE iterables of collated (ref, target, id) batches;
-        host-side prefetch/shuffle live inside each dataset class."""
-        return DatasetFactory.create_dataset(cfg, split)
+        """Datasets here ARE iterables of collated (ref, target, id) batches.
+        training.dataloader.num_workers > 0 wraps them in the native C++
+        prefetch ring (data/prefetch.py) so host decode overlaps device
+        steps."""
+        ds = DatasetFactory.create_dataset(cfg, split)
+        workers = int(cfg.training.get("dataloader", {}).get("num_workers", 0)) \
+            if split == "train" else 0
+        from .prefetch import maybe_prefetch
+        return maybe_prefetch(ds, workers)

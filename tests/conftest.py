@@ -31,3 +31,13 @@ def pytest_configure(config):
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)
+
+
+def pytest_sessionstart(session):
+    """Build the native prefetch ring if absent (tests exercise it)."""
+    import subprocess
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    so = os.path.join(root, "native", "libamatprefetch.so")
+    if not os.path.exists(so):
+        subprocess.run(["sh", os.path.join(root, "native", "build.sh")],
+                       check=False, capture_output=True)
