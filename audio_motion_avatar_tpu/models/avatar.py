@@ -93,6 +93,7 @@ class TriplaneGaussianAvatar(nn.Module):
             max_per_tile=c.max_per_tile,
             point_refiner=self.point_refiner,
             compute_dtype=cdt,
+            frames_per_chunk=c.frames_per_chunk,
             name="renderer")
 
     def __call__(self, statics: RendererStatics, images: jnp.ndarray,

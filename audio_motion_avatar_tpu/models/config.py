@@ -69,6 +69,10 @@ class AvatarConfig:
     # 'float32' | 'bfloat16' — compute dtype for the transformer/conv stacks
     # (params stay fp32; geometry + splatting stay fp32 regardless)
     compute_dtype: str = "float32"
+    # frames per renderer scan step: 1 = min memory; more batches the
+    # upsampler convs (1.7x MXU efficiency at 6 frames, ~2.4GB bf16/frame
+    # of 512^2 plane memory)
+    frames_per_chunk: int = 1
 
     @classmethod
     def default(cls) -> "AvatarConfig":
