@@ -69,6 +69,7 @@ class TriplaneGaussianAvatar(nn.Module):
             num_expression_coeffs=c.num_expression_coeffs,
             flat_hand_mean=c.flat_hand_mean,
             compute_dtype=cdt,
+            upsample_triplane=c.upsample_triplane_encoder,
             name="smplx_triplane_encoder")
         self.fusion_network = FeatureFusionNetwork(
             triplane_resolution=c.triplane_resolution,

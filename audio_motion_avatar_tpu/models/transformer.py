@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -70,8 +71,6 @@ class Attention(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None,
                  mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-        import jax
-
         inner = self.heads * self.head_dim
         kv_src = x if context is None else context
         q = _dense(inner, ("embed", "heads"), use_bias=False, name="q", dtype=self.dtype)(x)
@@ -94,7 +93,14 @@ class Attention(nn.Module):
             logits = jnp.einsum("bshd,bthd->bhst", q, k) * scale
             if mask is not None:
                 logits = logits + mask
-            probs = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(logits.dtype)
+            # Softmax dtype follows the compute dtype (diffusers' default —
+            # upcast_attention=False, transformers.py:233). In bf16 this
+            # halves the S x S logits traffic, the bandwidth bottleneck at
+            # the rollout's 6304-token sequences (max-subtraction inside
+            # jax.nn.softmax keeps it stable).
+            if self.dtype is None:
+                logits = logits.astype(jnp.float32)
+            probs = nn.softmax(logits, axis=-1)
             out = jnp.einsum("bhst,bthd->bshd", probs, v)
         out = out.reshape(B, S, inner)
         return _dense(self.out_dim, ("heads", "embed"), name="out", dtype=self.dtype)(out)

@@ -31,6 +31,7 @@ from ..ops import subdivision, triplane
 from ..ops.point_raster import lift_image_features
 from .smplx_decoder import SMPLXDecoder
 from .transformer import Transformer1D
+from .upsampler import TriplaneDownsampler
 
 
 class ResnetBlockFC(nn.Module):
@@ -70,6 +71,11 @@ class SMPLXTriplaneEncoder(nn.Module):
     num_expression_coeffs: int = 10
     flat_hand_mean: bool = False
     compute_dtype: object = None
+    # Optional high-res scatter + learned downsample (the reference's
+    # encoder-side upsample_triplane path, triplane_net.py:176-205 — there
+    # implemented via mutable resolution state; here static).
+    upsample_triplane: bool = False
+    upsample_factor: int = 3
 
     def setup(self):
         if self.predict_smplx_params:
@@ -96,6 +102,10 @@ class SMPLXTriplaneEncoder(nn.Module):
         self.blocks = [ResnetBlockFC(self.feature_dim, name=f"block_{i}")
                        for i in range(3)]
         self.fc_c = nn.Dense(self.feature_dim, name="fc_c")
+        if self.upsample_triplane:
+            self.triplane_downsampler = TriplaneDownsampler(
+                self.feature_dim, self.upsample_factor,
+                name="triplane_downsampler")
 
     def smpl_predictor(self, image_tokens: jnp.ndarray):
         """image_tokens: (BT, S, C_img) -> (params dict over BT, tokens (BT, C, L))."""
@@ -150,16 +160,19 @@ class SMPLXTriplaneEncoder(nn.Module):
         net = self.fc_pos(jnp.concatenate([verts, verts_feat], axis=-1))
         net = self.blocks[0](net)
 
-        cell_idx = triplane.plane_cell_index(verts, self.radius,
-                                             self.triplane_resolution)  # (BT,3,N)
+        res = self.triplane_resolution * (self.upsample_factor
+                                          if self.upsample_triplane else 1)
+        cell_idx = triplane.plane_cell_index(verts, self.radius, res)  # (BT,3,N)
         for block in self.blocks[1:]:
-            pooled = triplane.pool_local_max(net, cell_idx, self.triplane_resolution)
+            pooled = triplane.pool_local_max(net, cell_idx, res)
             net = block(jnp.concatenate([net, pooled], axis=-1))
 
         c = self.fc_c(net)
         planes = jnp.stack(
-            [triplane.scatter_mean_plane(c, cell_idx[:, pi], self.triplane_resolution)
-             for pi in range(3)], axis=1)  # (BT, 3, C, R, R)
+            [triplane.scatter_mean_plane(c, cell_idx[:, pi], res)
+             for pi in range(3)], axis=1)  # (BT, 3, C, res, res)
+        if self.upsample_triplane:
+            planes = self.triplane_downsampler(planes)
         planes = planes.reshape(B, T, 3, self.feature_dim,
                                 self.triplane_resolution, self.triplane_resolution)
 

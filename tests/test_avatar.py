@@ -100,3 +100,24 @@ def test_frozen_encoder_no_grads(model_and_vars):
     # ...and the smplx branch reaches the fusion transformer.
     fus = jax.tree_util.tree_leaves(grads["fusion_network"])
     assert any(float(jnp.abs(g).max()) > 0 for g in fus)
+
+
+def test_encoder_upsample_triplane_path():
+    """The optional high-res scatter + ConvNeXt downsample encoder path
+    (triplane_net.py:176-205) keeps the output resolution contract."""
+    import dataclasses
+    from audio_motion_avatar_tpu.models.triplane_encoder import SMPLXTriplaneEncoder
+    enc = SMPLXTriplaneEncoder(
+        num_verts=NUM_VERTS_ENC, triplane_resolution=8, feature_dim=32,
+        smpl_token_len=8, smpl_token_dim=32, smplx_transformer_layers=1,
+        smplx_transformer_head_dim=8, smplx_transformer_num_heads=2,
+        image_feature_dim=48, sample_feature=False,
+        upsample_triplane=True, upsample_factor=2)
+    toks = jnp.asarray(np.random.RandomState(0).randn(1, 1, 16, 48).astype(np.float32))
+    batch = make_batch(1, 1, (64, 64), seed=9)
+    variables = enc.init(jax.random.PRNGKey(0), SMPLX, toks, None,
+                         batch.smpl_parms, None)
+    planes, smpl_tokens, pred = enc.apply(variables, SMPLX, toks, None,
+                                          batch.smpl_parms, None)
+    assert planes.shape == (1, 1, 3, 32, 8, 8)
+    assert np.isfinite(np.asarray(planes)).all()
