@@ -1,0 +1,62 @@
+"""Orbax checkpoint manager: save/restore round trip with frozen-encoder
+exclusion (the reference's on_save_checkpoint key-stripping analog)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from audio_motion_avatar_tpu.training.checkpoints import (CheckpointManager,
+                                                          merge_frozen,
+                                                          split_frozen)
+from audio_motion_avatar_tpu.training.train_state import (OptimConfig,
+                                                          TrainState,
+                                                          make_optimizer)
+
+
+def make_state(seed=0):
+    k = jax.random.PRNGKey(seed)
+    params = {
+        "renderer": {"w": jax.random.normal(k, (4, 4))},
+        "sapiens_encoder": {"w": jax.random.normal(k, (3, 3))},  # frozen
+    }
+    tx = make_optimizer(OptimConfig(learning_rate=1e-2, total_steps=10))
+    return TrainState.create(params, tx)
+
+
+def test_split_excludes_frozen():
+    state = make_state()
+    train, frozen = split_frozen(state.params)
+    assert "sapiens_encoder" not in train
+    assert "sapiens_encoder" in frozen
+    merged = merge_frozen(train, frozen)
+    assert set(merged) == {"renderer", "sapiens_encoder"}
+
+
+def test_save_restore_roundtrip(tmp_path):
+    state = make_state()
+    # take a step so opt_state is nontrivial
+    grads = jax.tree_util.tree_map(jnp.ones_like, state.params)
+    state = state.apply_gradients(grads)
+
+    mgr = CheckpointManager(str(tmp_path / "ckpts"), max_to_keep=2)
+    mgr.save(1, state, metrics={"loss_total": 0.5})
+
+    # fresh state with DIFFERENT values; frozen part must stay local
+    state2 = make_state(seed=1)
+    local_frozen = np.asarray(state2.params["sapiens_encoder"]["w"])
+    restored, ok = mgr.restore(state2)
+    assert ok
+    np.testing.assert_allclose(np.asarray(restored.params["renderer"]["w"]),
+                               np.asarray(state.params["renderer"]["w"]))
+    # frozen weights come from the local init, NOT the checkpoint
+    np.testing.assert_allclose(np.asarray(restored.params["sapiens_encoder"]["w"]),
+                               local_frozen)
+    assert int(restored.step) == int(state.step)
+
+
+def test_restore_without_checkpoint(tmp_path):
+    state = make_state()
+    mgr = CheckpointManager(str(tmp_path / "empty"))
+    restored, ok = mgr.restore(state)
+    assert not ok
+    assert restored is state
