@@ -67,3 +67,24 @@ def test_timed():
     dt, out = timed(lambda x: x * 2, jnp.ones(4), iters=2)
     assert dt >= 0
     assert float(out.sum()) == 8.0
+
+
+def test_polyphase_upsample_conv_exact():
+    """_upsample2x_conv3x3 must equal conv3x3(SAME) on nearest2x input."""
+    import jax
+    import jax.numpy as jnp
+    from audio_motion_avatar_tpu.models.upsampler import (_nearest2x,
+                                                          _upsample2x_conv3x3)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 7, 5, 8).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 8, 6).astype(np.float32))
+    b = jnp.asarray(rng.randn(6).astype(np.float32))
+
+    fused = _upsample2x_conv3x3(x, w, b)
+
+    up = _nearest2x(x)
+    ref = jax.lax.conv_general_dilated(
+        up, w, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
