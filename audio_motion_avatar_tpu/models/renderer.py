@@ -40,7 +40,11 @@ SUBDIVIDE_VERTS = {0: 10000, 1: 30000, 2: 30000}  # renderer.py:14-18
 
 
 class RendererStatics(NamedTuple):
-    """Host-precomputed geometry constants the renderer closes over."""
+    """Host-precomputed geometry constants the renderer closes over.
+
+    CLOSE OVER these in jitted functions (like weights); do not pass them as
+    jit arguments — the SMPLX kinematic tree (parents) is consumed as a
+    static python value by ops.smplx.lbs."""
 
     smplx_model: smplx_ops.SmplxModel
     sub_tables: Optional[subdivision.SubdivisionTables]
