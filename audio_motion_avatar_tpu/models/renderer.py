@@ -218,6 +218,9 @@ class Renderer(nn.Module):
             g, img = mdl._render_frame(pl, pts, tr, K, E, render)
             return carry, (g, img)
 
+        # remat: without it the scan stores every frame's upsampler
+        # activations (~4GB bf16/frame at 512^2) for the backward pass.
+        frame = nn.remat(frame, prevent_cse=False)
         scan = nn.scan(frame, variable_broadcast="params",
                        split_rngs={"params": False}, in_axes=0, out_axes=0)
         _, (gaussians, images) = scan(

@@ -376,7 +376,12 @@ def render_tiles(proj: Projected, width: int, height: int,
     ox = ox.reshape(-1)
     oy = oy.reshape(-1)
 
+    @jax.checkpoint
     def render_tile(tid, idx, mask):
+        # remat: the backward pass recomputes the (K, 256) alphas instead of
+        # storing them — without this, differentiating a multi-view render
+        # keeps ~2GB of alpha activations per view (measured OOM at 512^2
+        # training with 4 novel views).
         tyi = tid // tx
         txi = tid % tx
         px = ox + (txi * TILE).astype(jnp.float32)
