@@ -198,7 +198,7 @@ def main(argv=None):
             from .training.checkpoints import CheckpointManager
             ckpt_mgr = CheckpointManager(
                 os.path.join(cfg.training.output_dir, "checkpoints"),
-                max_to_keep=int(cfg.training.get("validation", {}).get("save_top_k", 3)) + 1)
+                max_to_keep=int(cfg.training.get("validation", {}).get("save_top_k", 3)))
             if args.resume:
                 state, ok = ckpt_mgr.restore(state)
                 print(f"[main2] resume: {'ok' if ok else 'no checkpoint'}")

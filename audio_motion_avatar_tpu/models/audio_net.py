@@ -13,8 +13,9 @@ Functional equivalent of the reference AudioTriplaneNet + temporal reducers
     rollout over T_output steps, each step cross-attending to that step's
     audio features (:204-257).
 
-TPU delta: the python rollout loop is a lax.scan — one compiled step reused
-T_output times, with the (last, new) motion re-encoding inside the carry.
+TPU delta: the rollout is statically unrolled over the fixed, small T_output
+(6) so XLA can pipeline across steps; each step re-applies the same bound
+modules (weights shared exactly as in the reference loop).
 """
 
 from __future__ import annotations
@@ -29,11 +30,15 @@ from .transformer import Transformer1D
 
 
 class TriplaneTemporalReducer(nn.Module):
-    """(B, T, C, S_triplane) tokens -> (B, C, S): depthwise temporal conv.
+    """(B, T, C, S=3*R^2) tokens -> (B, C, S): depthwise temporal conv.
 
-    Matches Conv3d(in=3C, out=3C, kernel=(T,1,1), groups=3C, bias=False):
-    each channel gets a learned T-tap filter. Operating directly on the
-    token axis is exact because the conv never mixes spatial positions.
+    Matches Conv3d(in=3C, out=3C, kernel=(T,1,1), groups=3C, bias=False)
+    (triplane_audio_net.py:14-22): each (plane, channel) pair gets its own
+    learned T-tap filter. Token layout is plane-major (S = plane*R^2 + pixel,
+    ops/triplane.planes_to_tokens), mirroring the reference's plane-major
+    channel packing (plane*C + c), so the torch weight (3C,1,T,1,1) maps to
+    `time_kernel` via reshape(3, C, T). Operating directly on the token axis
+    is exact because the conv never mixes spatial positions.
     """
 
     channels: int
@@ -43,9 +48,11 @@ class TriplaneTemporalReducer(nn.Module):
     def __call__(self, tokens: jnp.ndarray) -> jnp.ndarray:
         B, T, C, S = tokens.shape
         assert T == self.time_steps and C == self.channels, (tokens.shape,)
+        assert S % 3 == 0, (S,)
         w = self.param("time_kernel", nn.initializers.lecun_normal(),
-                       (C, T))
-        return jnp.einsum("btcs,ct->bcs", tokens, w)
+                       (3, C, T))
+        x = tokens.reshape(B, T, C, 3, S // 3)
+        return jnp.einsum("btcps,pct->bcps", x, w).reshape(B, C, S)
 
 
 class SMPLXTemporalReducer(nn.Module):

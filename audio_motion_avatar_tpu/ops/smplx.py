@@ -68,7 +68,7 @@ def default_params(batch_shape=(), num_betas: int = 10, num_expr: int = 10,
 
 
 def _flat(x: jnp.ndarray, last: int) -> jnp.ndarray:
-    return x.reshape(x.shape[:-len(x.shape[x.ndim - 1:])] + (last,)) if False else x.reshape((-1, last))
+    return x.reshape((-1, last))
 
 
 def forward(model: SmplxModel, params: dict, *, flat_hand_mean: bool = True,

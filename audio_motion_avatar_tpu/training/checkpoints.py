@@ -37,14 +37,27 @@ def merge_frozen(train: dict, frozen: dict) -> dict:
 
 
 class CheckpointManager:
-    """Thin orbax wrapper saving {params-sans-frozen, opt_state, step}."""
+    """Orbax wrapper saving {params-sans-frozen, opt_state, step}.
 
-    def __init__(self, directory: str, max_to_keep: int = 3):
+    Retention reproduces Lightning ModelCheckpoint (reference:
+    trainer_factory.py:81-103): when `monitor` is set, the k BEST checkpoints
+    by the monitored metric are kept (`mode` 'min'/'max') plus always the
+    most recent one (save_last=True analog); the worst-by-metric is evicted,
+    not the oldest. Metric-less saves fall back to keep-latest-k (FIFO).
+    """
+
+    def __init__(self, directory: str, max_to_keep: int = 3,
+                 monitor: Optional[str] = None, mode: str = "min"):
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
+        self.max_to_keep = max_to_keep
+        self.monitor = monitor.split("/")[-1] if monitor else None
+        self.mode = mode
+        self._metric_history: dict = {}  # step -> monitored value (or None)
+        # eviction is managed here (metric-ranked), not by orbax (age-ranked)
         self._mgr = ocp.CheckpointManager(
             self.directory,
-            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep,
+            options=ocp.CheckpointManagerOptions(max_to_keep=None,
                                                  create=True),
         )
 
@@ -57,6 +70,31 @@ class CheckpointManager:
         }
         self._mgr.save(step, args=ocp.args.StandardSave(payload),
                        metrics={k: float(v) for k, v in (metrics or {}).items()})
+        self._mgr.wait_until_finished()
+        cur = None
+        if self.monitor and metrics and self.monitor in metrics:
+            cur = float(metrics[self.monitor])
+        self._metric_history[step] = cur
+        self._evict()
+
+    def _evict(self):
+        steps = sorted(s for s in self._mgr.all_steps())
+        if len(steps) <= self.max_to_keep:
+            return
+        latest = steps[-1]
+        scored = [(s, self._metric_history.get(s)) for s in steps]
+        with_metric = [(s, v) for s, v in scored if v is not None]
+        if with_metric and self.monitor:
+            sign = 1.0 if self.mode == "min" else -1.0
+            ranked = sorted(with_metric, key=lambda sv: sign * sv[1])
+            keep = {s for s, _ in ranked[: self.max_to_keep]}
+        else:  # FIFO fallback (no metrics ever supplied)
+            keep = set(steps[-self.max_to_keep:])
+        keep.add(latest)  # save_last=True
+        for s in steps:
+            if s not in keep:
+                self._mgr.delete(s)
+                self._metric_history.pop(s, None)
         self._mgr.wait_until_finished()
 
     def restore(self, state, step: Optional[int] = None):

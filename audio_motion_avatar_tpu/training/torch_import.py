@@ -139,11 +139,88 @@ def map_resnet_fc(sd: dict, prefix: str, loaded: list) -> dict:
     return out
 
 
-def import_reference_checkpoint(path: str, cfg) -> Tuple[dict, dict]:
+def map_mha(sd: dict, prefix: str, heads: int, loaded: list):
+    """torch nn.MultiheadAttention -> flax nn.MultiHeadDotProductAttention.
+
+    torch packs q/k/v into in_proj_weight (3E, E); flax uses DenseGeneral
+    kernels (E, H, hd) for q/k/v and (H, hd, E) for out. Both scale by
+    1/sqrt(hd), so the split+transpose+reshape is numerically exact.
+    """
+    w = sd.get(prefix + ".in_proj_weight")
+    if w is None:
+        return None
+    w = np.asarray(w)
+    E = w.shape[1]
+    hd = E // heads
+    b = sd.get(prefix + ".in_proj_bias")
+    b = np.zeros(3 * E, np.float32) if b is None else np.asarray(b)
+
+    def proj(wx, bx):
+        return {"kernel": wx.T.reshape(E, heads, hd),
+                "bias": bx.reshape(heads, hd)}
+
+    ow = np.asarray(sd[prefix + ".out_proj.weight"])  # (E, E)
+    ob = np.asarray(sd[prefix + ".out_proj.bias"])
+    loaded.append(prefix)
+    return {
+        "query": proj(w[:E], b[:E]),
+        "key": proj(w[E:2 * E], b[E:2 * E]),
+        "value": proj(w[2 * E:], b[2 * E:]),
+        "out": {"kernel": ow.T.reshape(heads, hd, E), "bias": ob},
+    }
+
+
+def map_audio_triplane(sd: dict, cfg, loaded: list) -> dict:
+    """Stage-2 AudioTriplaneNet mapping (reference prefix `audio_triplane.*`,
+    main2.py:133-137, triplane_audio_net.py:110-141):
+      * conv_time (3C,1,T,1,1) depthwise Conv3d -> time_kernel (3, C, T)
+        (both are plane-major over the 3C channel axis);
+      * smplx_motion_encoder: torch MultiheadAttention + LayerNorms + MLP;
+      * the 8-layer audio cross-attention Transformer1D.
+    """
+    A = "audio_triplane"
+    out: dict = {}
+    w = sd.get(f"{A}.triplane_motion_encoder.conv_time.weight")
+    if w is not None:
+        w = np.asarray(w)  # (3C, 1, T, 1, 1), groups=3C
+        c3, _, T = w.shape[:3]
+        out["triplane_motion_encoder"] = {
+            "time_kernel": w.reshape(3, c3 // 3, T)}
+        loaded.append(f"{A}.triplane_motion_encoder.conv_time")
+    sm: dict = {}
+    s = f"{A}.smplx_motion_encoder"
+    m = map_mha(sd, f"{s}.self_attn", 8, loaded)
+    if m:
+        sm["self_attn"] = m
+    for norm in ["norm1", "norm2"]:
+        w = sd.get(f"{s}.{norm}.weight")
+        if w is not None:
+            sm[norm] = {"scale": np.asarray(w),
+                        "bias": np.asarray(sd[f"{s}.{norm}.bias"])}
+            loaded.append(f"{s}.{norm}")
+    m = _linear(sm, f"{s}.mlp.0", sd, loaded)
+    if m:
+        sm["mlp1"] = m
+    m = _linear(sm, f"{s}.mlp.2", sd, loaded)
+    if m:
+        sm["mlp2"] = m
+    if sm:
+        out["smplx_motion_encoder"] = sm
+    t = map_transformer1d(sd, f"{A}.transformer",
+                          cfg.audio_transformer_layers, loaded)
+    if t:
+        out["transformer"] = t
+    return out
+
+
+def import_reference_checkpoint(path: str, cfg, stage: int = 1) -> Tuple[dict, dict]:
     """Load a reference .ckpt and build a partial flax params tree.
 
-    Returns (partial_params, report). partial_params mirrors the
-    TriplaneGaussianAvatar tree; merge with `merge_into` below.
+    Returns (partial_params, report). For stage=1, partial_params mirrors the
+    TriplaneGaussianAvatar tree; for stage=2 it mirrors AudioDrivenAvatar
+    ({"triplane_gaussian": <stage-1 tree>, "audio_triplane": ...}, the
+    released full checkpoint layout, reference main2.py:127-138). Merge with
+    `merge_into` below.
     """
     sd = load_torch_state_dict(path)
     loaded: list = []
@@ -200,6 +277,12 @@ def import_reference_checkpoint(path: str, cfg) -> Tuple[dict, dict]:
     heads = map_gaussian_heads(sd, f"{P}.renderer", loaded)
     if heads:
         params["renderer"] = heads
+
+    if stage == 2:
+        audio = map_audio_triplane(sd, cfg, loaded)
+        params = {"triplane_gaussian": params}
+        if audio:
+            params["audio_triplane"] = audio
 
     skipped = sorted(
         {k.rsplit(".", 1)[0] for k in sd

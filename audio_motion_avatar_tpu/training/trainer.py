@@ -112,8 +112,20 @@ class Trainer:
         if not self.fast_dev_run:
             self.ckpt = CheckpointManager(
                 os.path.join(self.output_dir, "checkpoints"),
-                max_to_keep=self.save_top_k + 1)
+                max_to_keep=self.save_top_k, monitor=self.monitor)
         self.best_metric = float("inf")
+
+        # LR schedule mirror for logging (the reference's LearningRateMonitor,
+        # trainer_factory.py:106). MultiSteps advances the inner schedule once
+        # per accumulated optimizer step.
+        from ..configs.build import build_optim_config
+        import optax
+        oc = build_optim_config(cfg)
+        self._lr_accum = max(1, oc.accumulate_steps)
+        self._lr_schedule = optax.linear_schedule(
+            init_value=oc.learning_rate,
+            end_value=oc.learning_rate * oc.end_factor,
+            transition_steps=oc.total_steps)
 
         # Device mesh: data x model ('auto DDP' analog, trainer_factory.py:29-46).
         n_data = int(t.get("devices", 1))
@@ -145,6 +157,8 @@ class Trainer:
                     if global_step % self.log_every == 0:
                         metrics = {k: float(v) for k, v in metrics.items()}
                         metrics["step_time_s"] = time.time() - t0
+                        metrics["lr"] = float(
+                            self._lr_schedule(global_step // self._lr_accum))
                         self.logger.log(global_step, metrics, "train")
                         print(f"[e{epoch} s{global_step}] " +
                               " ".join(f"{k}={v:.4f}" for k, v in metrics.items()))

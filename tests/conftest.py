@@ -26,6 +26,26 @@ import pytest  # noqa: E402
 def pytest_configure(config):
     assert jax.default_backend() == "cpu", jax.default_backend()
     assert len(jax.devices()) == 8, jax.devices()
+    config.addinivalue_line(
+        "markers", "quick: fast unit tests (pre-commit tier, `-m quick` < 2 min)")
+
+
+# Modules whose every test is fast (pure-math / host-side units). The heavy
+# integration tiers (splat render, stage train steps, PTv3, end-to-end) stay
+# out so `-m quick` serves as a pre-commit gate.
+QUICK_MODULES = {
+    "test_cameras", "test_rotations", "test_sh", "test_serialization",
+    "test_config", "test_losses", "test_mesh_utils", "test_smplx",
+    "test_triplane", "test_checkpoints", "test_torch_import",
+    "test_utils_graphics", "test_prefetch", "test_audio_encoder",
+    "test_sapiens_convert",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in QUICK_MODULES:
+            item.add_marker(pytest.mark.quick)
 
 
 @pytest.fixture

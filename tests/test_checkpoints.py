@@ -60,3 +60,26 @@ def test_restore_without_checkpoint(tmp_path):
     restored, ok = mgr.restore(state)
     assert not ok
     assert restored is state
+
+
+def test_topk_evicts_worst_not_oldest(tmp_path):
+    """ModelCheckpoint semantics (trainer_factory.py:81-103): keep the k BEST
+    by monitored metric plus the latest — the worst is evicted even if newer
+    than other checkpoints."""
+    state = make_state()
+    mgr = CheckpointManager(str(tmp_path / "topk"), max_to_keep=2,
+                            monitor="val/loss_total", mode="min")
+    mgr.save(1, state, metrics={"loss_total": 1.0})
+    mgr.save(2, state, metrics={"loss_total": 3.0})   # worst
+    mgr.save(3, state, metrics={"loss_total": 0.5})   # best
+    mgr.save(4, state, metrics={"loss_total": 2.0})   # latest (kept as last)
+    steps = set(mgr._mgr.all_steps())
+    assert steps == {1, 3, 4}, steps  # 2 (worst) evicted; 1 older but better
+
+
+def test_topk_fifo_without_metrics(tmp_path):
+    state = make_state()
+    mgr = CheckpointManager(str(tmp_path / "fifo"), max_to_keep=2)
+    for s in (1, 2, 3):
+        mgr.save(s, state)
+    assert set(mgr._mgr.all_steps()) == {2, 3}

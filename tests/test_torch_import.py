@@ -107,3 +107,189 @@ def test_merge_shape_check(tmp_path):
     np.testing.assert_allclose(merged["renderer"]["rotation_layer"]["bias"],
                                [1, 0, 0, 0])
     assert any("xyz_layer" in m for m in mism)
+
+
+# ---------------------------------------------------------------------------
+# Stage-2 (audio_triplane.*) import: forward agreement vs real torch modules
+# ---------------------------------------------------------------------------
+
+def _np_sd(torch_modules_prefixed):
+    """{prefix: torch module} -> flat numpy state dict with reference names."""
+    sd = {}
+    for prefix, mod in torch_modules_prefixed.items():
+        for k, v in mod.state_dict().items():
+            sd[f"{prefix}.{k}"] = v.detach().numpy()
+    return sd
+
+
+def test_triplane_reducer_import_forward():
+    """conv_time (depthwise Conv3d over T) == imported time_kernel einsum."""
+    import torch.nn as tnn
+    from audio_motion_avatar_tpu.models.audio_net import TriplaneTemporalReducer
+
+    torch.manual_seed(0)
+    B, T, C, R = 2, 2, 8, 4
+    conv = tnn.Conv3d(3 * C, 3 * C, (T, 1, 1), groups=3 * C, bias=False)
+    x = torch.randn(B, T, 3, C, R, R)
+    # reference forward (triplane_audio_net.py:24-42)
+    xp = x.permute(0, 2, 3, 1, 4, 5).contiguous().view(B, 3 * C, T, R, R)
+    ref = conv(xp).view(B, 3, C, R, R).detach().numpy()  # time axis reduced
+
+    sd = {"audio_triplane.triplane_motion_encoder.conv_time.weight":
+          conv.weight.detach().numpy()}
+    mapped = ti.map_audio_triplane(sd, CFG, [])
+    # tokens: plane-major flatten (B, T, C, 3*R*R)
+    import jax.numpy as jnp
+    from audio_motion_avatar_tpu.ops.triplane import planes_to_tokens
+    tokens = planes_to_tokens(jnp.asarray(x.numpy()))  # (B, T, C, 3R^2)
+    mod = TriplaneTemporalReducer(channels=C, time_steps=T)
+    out = mod.apply({"params": mapped["triplane_motion_encoder"]}, tokens)
+    out_planes = np.asarray(out).reshape(B, C, 3, R, R).transpose(0, 2, 1, 3, 4)
+    np.testing.assert_allclose(out_planes, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_smplx_reducer_import_forward():
+    """torch MHA + LayerNorms + MLP == imported SMPLXTemporalReducer."""
+    import torch.nn as tnn
+    from audio_motion_avatar_tpu.models.audio_net import SMPLXTemporalReducer
+
+    torch.manual_seed(1)
+    B, T, C, L = 2, 2, 16, 5
+    attn = tnn.MultiheadAttention(C, 8, dropout=0.1, batch_first=True).eval()
+    norm1, norm2 = tnn.LayerNorm(C), tnn.LayerNorm(C)
+    mlp = tnn.Sequential(tnn.Linear(C, 2 * C), tnn.ReLU(), tnn.Linear(2 * C, C))
+    x = torch.randn(B, T, C, L)
+
+    # reference forward (triplane_audio_net.py:66-91)
+    with torch.no_grad():
+        h = x.permute(0, 3, 1, 2).reshape(B * L, T, C)
+        a, _ = attn(h, h, h)
+        h = norm1(h + a)
+        h = norm2(h + mlp(h))
+        ref = h.mean(dim=1).reshape(B, L, C).permute(0, 2, 1).numpy()  # (B,C,L)
+
+    s = "audio_triplane.smplx_motion_encoder"
+    sd = _np_sd({f"{s}.self_attn": attn, f"{s}.norm1": norm1,
+                 f"{s}.norm2": norm2, f"{s}.mlp": mlp})
+    mapped = ti.map_audio_triplane(sd, CFG, [])
+    import jax.numpy as jnp
+    mod = SMPLXTemporalReducer(channels=C, time_steps=T, heads=8)
+    out = mod.apply({"params": mapped["smplx_motion_encoder"]},
+                    jnp.asarray(x.numpy()))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_transformer1d_import_forward():
+    """Full Transformer1D mapping: hand-built torch twin of the reference
+    Transformer1D_nn (GroupNorm -> proj_in -> pre-LN block with separate
+    q/k/v, cross-attn, GEGLU FF -> proj_out + residual) vs imported flax."""
+    import torch.nn as tnn
+    import torch.nn.functional as tF
+    from audio_motion_avatar_tpu.models.transformer import Transformer1D
+
+    torch.manual_seed(2)
+    B, C, S = 2, 16, 10
+    heads, hd = 2, 8
+    inner = heads * hd
+    ctx_dim, T_ctx = 12, 3
+
+    norm = tnn.GroupNorm(4, C, eps=1e-6)
+    proj_in = tnn.Linear(C, inner)
+    proj_out = tnn.Linear(inner, C)
+    norm1, norm2, norm3 = (tnn.LayerNorm(inner) for _ in range(3))
+    q1, k1, v1 = (tnn.Linear(inner, inner, bias=False) for _ in range(3))
+    o1 = tnn.Linear(inner, inner)
+    q2 = tnn.Linear(inner, inner, bias=False)
+    k2 = tnn.Linear(ctx_dim, inner, bias=False)
+    v2 = tnn.Linear(ctx_dim, inner, bias=False)
+    o2 = tnn.Linear(inner, inner)
+    ff_proj = tnn.Linear(inner, 8 * inner)  # GEGLU: 2 * (mult=4) * inner
+    ff_out = tnn.Linear(4 * inner, inner)
+
+    def mha(q, k, v, x, kv):
+        Bq, Sq, _ = x.shape
+        Tk = kv.shape[1]
+        qh = q(x).view(Bq, Sq, heads, hd).transpose(1, 2)
+        kh = k(kv).view(Bq, Tk, heads, hd).transpose(1, 2)
+        vh = v(kv).view(Bq, Tk, heads, hd).transpose(1, 2)
+        a = tF.softmax(qh @ kh.transpose(-1, -2) * hd ** -0.5, dim=-1) @ vh
+        return a.transpose(1, 2).reshape(Bq, Sq, inner)
+
+    x = torch.randn(B, C, S)
+    ctx = torch.randn(B, T_ctx, ctx_dim)
+    with torch.no_grad():
+        h = norm(x).transpose(1, 2)           # (B, S, C)
+        h = proj_in(h)
+        h = h + o1(mha(q1, k1, v1, norm1(h), norm1(h)))
+        h = h + o2(mha(q2, k2, v2, norm2(h), ctx))
+        g = ff_proj(norm3(h))
+        a, gate = g.chunk(2, dim=-1)
+        h = h + ff_out(a * tF.gelu(gate))
+        ref = (proj_out(h).transpose(1, 2) + x).numpy()
+
+    t = "audio_triplane.transformer"
+    sd = _np_sd({
+        f"{t}.norm": norm, f"{t}.proj_in": proj_in, f"{t}.proj_out": proj_out,
+        f"{t}.transformer_blocks.0.norm1": norm1,
+        f"{t}.transformer_blocks.0.norm2": norm2,
+        f"{t}.transformer_blocks.0.norm3": norm3,
+        f"{t}.transformer_blocks.0.attn1.to_q": q1,
+        f"{t}.transformer_blocks.0.attn1.to_k": k1,
+        f"{t}.transformer_blocks.0.attn1.to_v": v1,
+        f"{t}.transformer_blocks.0.attn1.to_out.0": o1,
+        f"{t}.transformer_blocks.0.attn2.to_q": q2,
+        f"{t}.transformer_blocks.0.attn2.to_k": k2,
+        f"{t}.transformer_blocks.0.attn2.to_v": v2,
+        f"{t}.transformer_blocks.0.attn2.to_out.0": o2,
+        f"{t}.transformer_blocks.0.ff.net.0.proj": ff_proj,
+        f"{t}.transformer_blocks.0.ff.net.2": ff_out,
+    })
+    loaded = []
+    mapped = ti.map_transformer1d(sd, t, 1, loaded)
+    import jax.numpy as jnp
+    mod = Transformer1D(num_layers=1, heads=heads, head_dim=hd,
+                        in_channels=C, context_dim=ctx_dim,
+                        norm_num_groups=4, remat=False)
+    out = mod.apply({"params": mapped}, jnp.asarray(x.numpy()),
+                    jnp.asarray(ctx.numpy()))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_stage2_import_no_structural_twin_skipped():
+    """stage=2 import maps every audio_triplane module that has a structural
+    twin — the report must show zero skipped audio_triplane entries."""
+    import torch.nn as tnn
+    torch.manual_seed(3)
+    C = 16
+    sd = {}
+    conv = tnn.Conv3d(3 * C, 3 * C, (2, 1, 1), groups=3 * C, bias=False)
+    sd["audio_triplane.triplane_motion_encoder.conv_time.weight"] = conv.weight
+    attn = tnn.MultiheadAttention(C, 8, batch_first=True)
+    for k, v in attn.state_dict().items():
+        sd[f"audio_triplane.smplx_motion_encoder.self_attn.{k}"] = v
+    for i, m in enumerate([tnn.LayerNorm(C), None, tnn.LayerNorm(C)]):
+        if m is not None:
+            for k, v in m.state_dict().items():
+                sd[f"audio_triplane.smplx_motion_encoder.norm{1 if i == 0 else 2}.{k}"] = v
+    mlp = tnn.Sequential(tnn.Linear(C, 2 * C), tnn.ReLU(), tnn.Linear(2 * C, C))
+    for k, v in mlp.state_dict().items():
+        sd[f"audio_triplane.smplx_motion_encoder.mlp.{k}"] = v
+    t = "audio_triplane.transformer"
+    sd[f"{t}.norm.weight"] = torch.randn(C)
+    sd[f"{t}.norm.bias"] = torch.randn(C)
+    sd[f"{t}.proj_in.weight"] = torch.randn(16, C)
+    sd[f"{t}.proj_in.bias"] = torch.randn(16)
+    sd[f"{t}.proj_out.weight"] = torch.randn(C, 16)
+    sd[f"{t}.proj_out.bias"] = torch.randn(C)
+
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "full.ckpt")
+        torch.save({"state_dict": sd}, path)
+        params, report = ti.import_reference_checkpoint(path, CFG, stage=2)
+    assert "audio_triplane" in params
+    assert "triplane_motion_encoder" in params["audio_triplane"]
+    assert "transformer" in params["audio_triplane"]
+    at_skipped = [m for m in report["skipped_modules"]
+                  if m.startswith("audio_triplane")]
+    assert at_skipped == [], at_skipped
