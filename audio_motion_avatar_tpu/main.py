@@ -72,12 +72,14 @@ def build_everything(cfg):
     return model, statics, ac
 
 
-def init_state(model, statics, cfg, ac, seed=0):
+def init_state(model, statics, cfg, ac, seed=0, return_specs=False):
+    """-> TrainState (and, with return_specs, the params' logical
+    PartitionSpec tree for tensor-parallel placement)."""
     import jax
     import jax.numpy as jnp
     from .configs.build import build_optim_config
+    from .parallel.mesh import logical_specs, unbox
     from .data.synthetic import make_batch
-    from .parallel.mesh import unbox
     from .training.train_state import TrainState, make_optimizer
 
     H, W = ac.image_size
@@ -85,9 +87,11 @@ def init_state(model, statics, cfg, ac, seed=0):
     variables = model.init(jax.random.PRNGKey(seed), statics,
                            jnp.asarray(b.video), b.smpl_parms,
                            {k: jnp.asarray(v) for k, v in b.cam_parms.items()})
+    specs = logical_specs(variables)["params"]
     params = unbox(variables)["params"]
     tx = make_optimizer(build_optim_config(cfg))
-    return TrainState.create(params, tx)
+    state = TrainState.create(params, tx)
+    return (state, specs) if return_specs else state
 
 
 def main(argv=None):
@@ -100,7 +104,8 @@ def main(argv=None):
     setup_output_dirs(cfg)
 
     model, statics, ac = build_everything(cfg)
-    state = init_state(model, statics, cfg, ac, seed=seed)
+    state, param_specs = init_state(model, statics, cfg, ac, seed=seed,
+                                    return_specs=True)
 
     from .data.factory import DatasetFactory
     train_data = DatasetFactory.create_dataloader(cfg, split="train")
@@ -111,7 +116,8 @@ def main(argv=None):
     train_step = stage1.make_train_step(model, statics, ac)
     eval_step = stage1.make_eval_step(model, statics, ac)
     render_fn = stage1.make_render_fn(model, statics)
-    trainer = Trainer(cfg, train_step, eval_step, render_fn=render_fn)
+    trainer = Trainer(cfg, train_step, eval_step, render_fn=render_fn,
+                      param_specs=param_specs)
 
     if args.checkpoint:
         from .training.checkpoints import CheckpointManager

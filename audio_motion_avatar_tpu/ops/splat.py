@@ -281,31 +281,37 @@ def bin_gaussians(proj: Projected, width: int, height: int,
 
 
 def bin_gaussians_sorted(proj: Projected, width: int, height: int,
-                         max_per_tile: int, max_window: int = 8):
+                         max_per_tile: int, max_window: int = 8,
+                         key_mode: str = "auto"):
     """Sort-based tile binning — the XLA analog of the CUDA rasterizer's
     duplicate-and-sort-by-(tile|depth)-key scheme, with static shapes:
 
       1. each depth-ordered gaussian enumerates a max_window^2 tile window
          anchored at its bbox corner (pairs beyond the bbox are masked);
-      2. pairs get int32 keys tile_id<<20 | depth_rank and are argsorted
-         once (N*W^2 elements ~ 2M, vs the 30M-element overlap matrix +
-         1024-row top_k of bin_gaussians);
+      2. (tile, depth_rank) pairs are sorted once (N*W^2 elements ~ 2M, vs
+         the 30M-element overlap matrix + 1024-row top_k of bin_gaussians).
+         When tile_bits + rank_bits fit in an int32 the pair is packed into
+         one key (tile_id << rank_bits | rank, single-key argsort — the
+         common case up to ~65k tiles x 64k gaussians or 4k x 512k); larger
+         problems fall back to a lexicographic two-key lax.sort. Any
+         resolution the CUDA rasterizer handles (its key is 64-bit,
+         renderer.py:516-566) is therefore representable here too;
       3. per-tile segments come from two searchsorted calls; the first
          max_per_tile entries per segment are gathered.
 
     Gaussians whose bbox exceeds max_window tiles per side are truncated at
-    the window (radius ~ 3 sigma > 64px at TILE=16 — bounded by the 0.1
-    world-scale clamp in practice).
+    the window (radius ~ 3 sigma > max_window*16px — bounded by the 0.1
+    world-scale clamp in practice; raise max_window for high resolutions).
 
     Returns (order, tile_idx (T,K) indices into depth-ordered arrays,
     tile_mask (T,K) bool) — same contract as bin_gaussians.
     """
     tx = width // TILE
     ty = height // TILE
+    n_tiles = tx * ty
     n = proj.mean2d.shape[0]
     K = min(max_per_tile, n)
     W2 = max_window * max_window
-    assert tx * ty <= 2048 and n < (1 << 20)
 
     order = jnp.argsort(proj.depth)
     mean2d = proj.mean2d[order]
@@ -330,19 +336,32 @@ def bin_gaussians_sorted(proj: Projected, width: int, height: int,
     valid = vy[:, :, None] & vx[:, None, :] & alive[:, None, None]
 
     rank = jnp.arange(n, dtype=jnp.int32)
-    key = jnp.where(valid, (tile_id << 20) | rank[:, None, None],
-                    jnp.int32(2 ** 31 - 1)).reshape(-1)
-    sidx = jnp.argsort(key)
-    keys_sorted = key[sidx]
-    vals_sorted = (sidx // W2).astype(jnp.int32)     # gaussian rank (depth order)
-
-    tids = jnp.arange(tx * ty, dtype=jnp.int32)
-    starts = jnp.searchsorted(keys_sorted, tids << 20, side="left")
-    ends = jnp.searchsorted(keys_sorted, (tids + 1) << 20, side="left")
+    rank_bits = max(1, (n - 1).bit_length())
+    # invalid pairs sort past every real tile via the n_tiles sentinel
+    packed_ok = (n_tiles + 1) << rank_bits <= 2 ** 31 - 1
+    tids = jnp.arange(n_tiles, dtype=jnp.int32)
+    if key_mode == "packed" or (key_mode == "auto" and packed_ok):
+        assert packed_ok, (n_tiles, rank_bits)
+        key = jnp.where(valid, (tile_id << rank_bits) | rank[:, None, None],
+                        jnp.int32(n_tiles << rank_bits)).reshape(-1)
+        sidx = jnp.argsort(key)
+        keys_sorted = key[sidx]
+        vals_sorted = (sidx // W2).astype(jnp.int32)  # gaussian rank
+        starts = jnp.searchsorted(keys_sorted, tids << rank_bits, side="left")
+        ends = jnp.searchsorted(keys_sorted, (tids + 1) << rank_bits,
+                                side="left")
+    else:
+        tile_flat = jnp.where(valid, tile_id, n_tiles).reshape(-1)
+        rank_flat = jnp.broadcast_to(rank[:, None, None],
+                                     valid.shape).reshape(-1)
+        tiles_sorted, vals_sorted = jax.lax.sort((tile_flat, rank_flat),
+                                                 num_keys=2)
+        starts = jnp.searchsorted(tiles_sorted, tids, side="left")
+        ends = jnp.searchsorted(tiles_sorted, tids + 1, side="left")
     counts = jnp.minimum(ends - starts, K)
 
     gidx = starts[:, None] + jnp.arange(K, dtype=jnp.int32)[None, :]
-    gidx = jnp.clip(gidx, 0, key.shape[0] - 1)
+    gidx = jnp.clip(gidx, 0, n * W2 - 1)
     tile_idx = vals_sorted[gidx]                     # (T, K)
     tile_mask = jnp.arange(K)[None, :] < counts[:, None]
     return order, tile_idx, tile_mask
@@ -350,7 +369,8 @@ def bin_gaussians_sorted(proj: Projected, width: int, height: int,
 
 def render_tiles(proj: Projected, width: int, height: int,
                  bg_color=(1.0, 1.0, 1.0), max_per_tile: int = 512,
-                 tile_chunk: int = 64, binner: str = "sorted") -> jnp.ndarray:
+                 tile_chunk: int = 64, binner: str = "sorted",
+                 max_window: int = 8) -> jnp.ndarray:
     """Tile-binned differentiable renderer (pure XLA).
 
     The per-tile working set is (K, 256) alphas + a (256, K)@(K, 3) blend —
@@ -363,8 +383,12 @@ def render_tiles(proj: Projected, width: int, height: int,
     n_tiles = tx * ty
     bg = jnp.asarray(bg_color, jnp.float32)
 
-    bin_fn = bin_gaussians_sorted if binner == "sorted" else bin_gaussians
-    order, tile_idx, tile_mask = bin_fn(proj, width, height, max_per_tile)
+    if binner == "sorted":
+        order, tile_idx, tile_mask = bin_gaussians_sorted(
+            proj, width, height, max_per_tile, max_window=max_window)
+    else:
+        order, tile_idx, tile_mask = bin_gaussians(proj, width, height,
+                                                   max_per_tile)
     mean2d = proj.mean2d[order]
     conic = proj.conic[order]
     color = proj.color[order]
@@ -436,7 +460,7 @@ def render_one(xyz: jnp.ndarray, rot: jnp.ndarray, raw_scales: jnp.ndarray,
             proj, width, height, max_per_tile=max_per_tile,
             max_window=max_window)
     return render_tiles(proj, width, height, bg_color,
-                        max_per_tile=max_per_tile)
+                        max_per_tile=max_per_tile, max_window=max_window)
 
 
 @partial(jax.jit, static_argnames=("width", "height", "max_per_tile", "mode"))

@@ -16,10 +16,15 @@ Replaces the sequential warp-per-pixel loop of the CUDA rasterizer
 diff-gaussian-rasterization) with a data-parallel prefix formulation:
 w_i = alpha_i * exp(cumsum_{j<i} log(1-alpha_j)).
 
-Differentiation: `composite_tiles` carries a custom VJP whose backward
-re-computes the blend in XLA from the (small) saved tile inputs — exact
-gradients, no O(K*P) residuals stored. A hand-written Pallas backward can
-replace it later without touching callers.
+Differentiation: `composite_tiles` carries a custom VJP whose backward is a
+SECOND Pallas kernel (`_tile_bwd_kernel`) that recomputes the tile blend
+in VMEM and emits d(tile_params) directly — the TPU analog of the CUDA
+rasterizer's fused backward (reference renderer.py:555-566 autograd path).
+Only the (small) packed tile inputs are saved as residuals; the suffix-sum
+over later gaussians (the back-to-front accumulation of the CUDA bwd) is a
+strictly-lower-triangular (P,K)@(K,K) MXU matmul. An XLA twin of the
+backward (`jax.vjp` of `_composite_tiles_xla`) remains as the numerical
+oracle for tests.
 """
 
 from __future__ import annotations
@@ -136,6 +141,118 @@ def _composite_tiles_xla(tile_params: jnp.ndarray, tile_origin: jnp.ndarray) -> 
     return jax.vmap(one)(tile_params, tile_origin)
 
 
+def _tile_bwd_kernel(tx_ref, data_ref, g_ref, out_ref):
+    """Backward of one tile: d(out (P,3)) -> d(packed params (9, K)).
+
+    Recomputes the forward blend from the packed params (no O(P*K)
+    residuals), then:
+      dL/dalpha_k = G_k * T_before_k * [not cut]
+                    - (sum_{j>k} G_j w_j + gT * T_final) / (1 - alpha_k)
+    with G = g_clip @ colors^T and gT = sum_c g_clip (white bg). The suffix
+    sum is a strictly-lower-triangular matmul on the MXU.
+    """
+    tid = pl.program_id(0)
+    tx = tx_ref[0]
+    txi = (tid % tx).astype(jnp.float32)
+    tyi = (tid // tx).astype(jnp.float32)
+
+    mx, my, cxx, cxy, cyy, op, cr, cg, cb = [
+        data_ref[0, i:i + 1, :] for i in range(9)]  # each (1, K)
+    g = g_ref[0]  # (P, 3)
+
+    pix = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    px = (pix % TILE).astype(jnp.float32) + txi * TILE
+    py = (pix // TILE).astype(jnp.float32) + tyi * TILE
+
+    # ---- forward recompute ----
+    dx = px - mx                                    # (P, K)
+    dy = py - my
+    power = -0.5 * (cxx * dx * dx + cyy * dy * dy) - cxy * dx * dy
+    e = jnp.exp(jnp.minimum(power, 0.0))
+    araw = op * e
+    alpha_c = jnp.minimum(araw, ALPHA_MAX)
+    keep = jnp.logical_not((power > 0.0) | (alpha_c < ALPHA_MIN))
+    alpha = jnp.where(keep, alpha_c, 0.0)
+
+    log1m = jnp.log1p(-alpha)
+    K = log1m.shape[1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
+    tri_incl = (rows <= cols).astype(jnp.float32)
+    logT_after = jnp.dot(log1m, tri_incl, preferred_element_type=jnp.float32)
+    T_after = jnp.exp(logT_after)
+    Tb = jnp.exp(logT_after - log1m)                # T before each gaussian
+    notcut = T_after >= T_EPS
+    w = jnp.where(notcut, alpha * Tb, 0.0)
+    T_final = T_after[:, -1:]                       # (P, 1)
+
+    # ---- clip mask on the pre-clip output ----
+    r_pre = jnp.sum(w * cr, axis=1, keepdims=True) + T_final
+    g_pre = jnp.sum(w * cg, axis=1, keepdims=True) + T_final
+    b_pre = jnp.sum(w * cb, axis=1, keepdims=True) + T_final
+    gr = g[:, 0:1] * ((r_pre > 0.0) & (r_pre < 1.0))
+    gg = g[:, 1:2] * ((g_pre > 0.0) & (g_pre < 1.0))
+    gb = g[:, 2:3] * ((b_pre > 0.0) & (b_pre < 1.0))
+
+    # ---- blend backward ----
+    G = gr * cr + gg * cg + gb * cb                 # (P, K)
+    gT = gr + gg + gb                               # (P, 1)
+    Xw = G * w
+    tri_strict = (rows > cols).astype(jnp.float32)  # [k, j] = 1 iff k > j
+    S = jnp.dot(Xw, tri_strict, preferred_element_type=jnp.float32)
+    dalpha = (jnp.where(notcut, G * Tb, 0.0)
+              - (S + gT * T_final) / (1.0 - alpha))
+    dalpha = jnp.where(keep, dalpha, 0.0)
+
+    # ---- activation backward ----
+    dar = jnp.where(araw < ALPHA_MAX, dalpha, 0.0)
+    dpow = dar * araw * (power < 0.0)
+    dop = jnp.sum(dar * e, axis=0, keepdims=True)          # (1, K)
+    dmx = jnp.sum(dpow * (cxx * dx + cxy * dy), axis=0, keepdims=True)
+    dmy = jnp.sum(dpow * (cyy * dy + cxy * dx), axis=0, keepdims=True)
+    dcxx = jnp.sum(dpow * (-0.5 * dx * dx), axis=0, keepdims=True)
+    dcxy = jnp.sum(dpow * (-dx * dy), axis=0, keepdims=True)
+    dcyy = jnp.sum(dpow * (-0.5 * dy * dy), axis=0, keepdims=True)
+    dcr = jnp.sum(gr * w, axis=0, keepdims=True)
+    dcg = jnp.sum(gg * w, axis=0, keepdims=True)
+    dcb = jnp.sum(gb * w, axis=0, keepdims=True)
+
+    out_ref[0] = jnp.concatenate(
+        [dmx, dmy, dcxx, dcxy, dcyy, dop, dcr, dcg, dcb], axis=0)  # (9, K)
+
+
+def _composite_tiles_bwd_pallas(tile_params: jnp.ndarray, g: jnp.ndarray,
+                                tx: int) -> jnp.ndarray:
+    """tile_params (T, 9, K), g (T, P, 3) -> d tile_params (T, 9, K)."""
+    n_tiles, _, K = tile_params.shape
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 9, K), lambda t, s: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, 3), lambda t, s: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 9, K), lambda t, s: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        _tile_bwd_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 9, K), jnp.float32),
+    )(jnp.asarray([tx], jnp.int32), tile_params, g)
+
+
+def _composite_tiles_bwd_xla(tile_params: jnp.ndarray, tile_origin: jnp.ndarray,
+                             g: jnp.ndarray) -> jnp.ndarray:
+    """Numerical oracle: autodiff through the XLA twin."""
+    _, vjp = jax.vjp(lambda p: _composite_tiles_xla(p, tile_origin), tile_params)
+    (dp,) = vjp(g)
+    return dp
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(2,))
 def composite_tiles(tile_params: jnp.ndarray, tile_origin: jnp.ndarray,
                     tx: int) -> jnp.ndarray:
@@ -148,8 +265,7 @@ def _ct_fwd(tile_params, tile_origin, tx):
 
 def _ct_bwd(tx, res, g):
     tile_params, tile_origin = res
-    _, vjp = jax.vjp(lambda p: _composite_tiles_xla(p, tile_origin), tile_params)
-    (dp,) = vjp(g)
+    dp = _composite_tiles_bwd_pallas(tile_params, g, tx)
     return dp, jnp.zeros_like(tile_origin)
 
 

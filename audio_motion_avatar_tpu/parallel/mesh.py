@@ -45,10 +45,15 @@ def make_mesh(num_data: Optional[int] = None, num_model: int = 1,
     return Mesh(dev_array, axis_names=("data", "model"))
 
 
-def param_shardings(mesh: Mesh, abstract_vars) -> dict:
-    """Shardings for a variables pytree whose leaves may carry flax logical
-    axis metadata (nn.with_logical_partitioning)."""
-    logical = nn.get_partition_spec(abstract_vars)
+def logical_specs(boxed_variables):
+    """Boxed (nn.with_logical_partitioning) variables -> logical
+    PartitionSpec pytree. Call BEFORE unbox() — unboxing drops the axis
+    metadata."""
+    return nn.get_partition_spec(boxed_variables)
+
+
+def to_named_shardings(mesh: Mesh, logical):
+    """Logical PartitionSpec pytree -> NamedShardings via LOGICAL_RULES."""
     concrete = nn.logical_to_mesh(logical, LOGICAL_RULES)
 
     def to_sharding(spec):
@@ -59,6 +64,42 @@ def param_shardings(mesh: Mesh, abstract_vars) -> dict:
     return jax.tree_util.tree_map(
         to_sharding, concrete,
         is_leaf=lambda x: isinstance(x, P) or x is None)
+
+
+def param_shardings(mesh: Mesh, abstract_vars) -> dict:
+    """Shardings for a variables pytree whose leaves may carry flax logical
+    axis metadata (nn.with_logical_partitioning)."""
+    return to_named_shardings(mesh, logical_specs(abstract_vars))
+
+
+def shard_like_params(params_shardings, tree):
+    """Shardings for an arbitrary pytree (e.g. an optax state): any subtree
+    structurally identical to the params tree (Adam mu/nu, MultiSteps
+    acc_grads) inherits the params shardings; every other leaf replicates.
+
+    The params shardings carry the mesh, so replication uses the same mesh.
+    """
+    pdef = jax.tree_util.tree_structure(params_shardings)
+    some_sharding = jax.tree_util.tree_leaves(params_shardings)[0]
+    repl = NamedSharding(some_sharding.mesh, P())
+
+    def is_params_subtree(x):
+        return jax.tree_util.tree_structure(x) == pdef
+
+    def leaf_sharding(x):
+        return params_shardings if is_params_subtree(x) else repl
+
+    return jax.tree_util.tree_map(leaf_sharding, tree,
+                                  is_leaf=is_params_subtree)
+
+
+def state_shardings(mesh: Mesh, state, params_logical):
+    """TrainState-shaped sharding tree: params by their logical axes
+    (tensor parallelism over 'model'), optimizer moments like the params,
+    counters/step replicated."""
+    psh = to_named_shardings(mesh, params_logical)
+    return state.replace(step=replicated(mesh), params=psh,
+                         opt_state=shard_like_params(psh, state.opt_state))
 
 
 def batch_sharding(mesh: Mesh):

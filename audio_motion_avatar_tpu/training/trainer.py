@@ -82,10 +82,16 @@ def save_comparison_image(path: str, rendered: np.ndarray, target: np.ndarray):
 class Trainer:
     def __init__(self, cfg, train_step: Callable, eval_step: Optional[Callable],
                  output_dir: Optional[str] = None,
-                 render_fn: Optional[Callable] = None):
+                 render_fn: Optional[Callable] = None,
+                 param_specs=None):
         """render_fn(params, ref_batch) -> (rendered (B,T,H,W,3), target
         (B,T,H,W,3)) used for the periodic side-by-side dumps
-        (lightning_model_wrapper.py:168-169)."""
+        (lightning_model_wrapper.py:168-169).
+
+        param_specs: the params' logical PartitionSpec tree (from
+        init_state(return_specs=True)); with a 'model' mesh axis > 1 the
+        annotated weights (transformer heads/mlp) are sharded over it —
+        tensor parallelism. Without it, params replicate (pure DP)."""
         t = cfg.training
         self.cfg = cfg
         self.train_step = train_step
@@ -136,6 +142,7 @@ class Trainer:
             n_data, n_model = avail, 1
         self.mesh = pmesh.make_mesh(num_data=n_data, num_model=n_model,
                                     devices=jax.devices()[: n_data * n_model])
+        self.param_specs = param_specs
 
     def fit(self, state, train_data: Iterable, val_data: Optional[Iterable] = None,
             resume: bool = False):
@@ -146,7 +153,12 @@ class Trainer:
 
         global_step = int(state.step)
         with jax.set_mesh(self.mesh):
-            state = jax.device_put(state, pmesh.replicated(self.mesh))
+            if self.param_specs is not None:
+                state = jax.device_put(
+                    state, pmesh.state_shardings(self.mesh, state,
+                                                 self.param_specs))
+            else:
+                state = jax.device_put(state, pmesh.replicated(self.mesh))
             for epoch in range(self.max_epochs):
                 for batch in train_data:
                     ref, test, _bid = batch

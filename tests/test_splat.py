@@ -180,3 +180,58 @@ def test_sorted_binning_window_truncation():
     order2, idx2, mask2 = splat.bin_gaussians(proj, 256, 256, 4)
     assert int(mask.sum()) == 64        # truncated to the 8x8 window
     assert int(mask2.sum()) > 64        # full binning covers more tiles
+
+
+def test_sorted_binning_reference_resolutions():
+    """The binner must handle the reference's real training resolutions —
+    THuman 1024x1024 (4096 tiles, thuman.yaml:13) and IDOL 896x640 (2240
+    tiles, idol.yaml:22) — formerly rejected by the int32 tile_id<<20 key.
+    Parity vs the dense top-k binner at each resolution."""
+    for (W, H) in [(1024, 1024), (896, 640)]:
+        xyz, rot, s, o, c = scene(128, seed=11, spread=0.6)
+        K, E = front_camera(W, H, focal=5000.0 * W / 1024, dist=2.5)
+        cam = make_camera(K, E, W, H)
+        proj = splat.project_gaussians(
+            xyz, rot, splat.activate_scales(s), splat.activate_opacity(o),
+            jnp.clip(c, 0, 1), cam)
+        # radius at focal 5000 spans up to ~20 tiles -> window must cover it
+        o1, i1, m1 = splat.bin_gaussians_sorted(proj, W, H, 32, max_window=32)
+        o2, i2, m2 = splat.bin_gaussians(proj, W, H, 32)
+        np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+        np.testing.assert_array_equal(np.asarray(i1)[np.asarray(m1)],
+                                      np.asarray(i2)[np.asarray(m2)])
+
+
+def test_sorted_binning_packed_vs_lexsort():
+    """The packed single-key path and the two-key lax.sort fallback must be
+    exactly equivalent (the fallback covers tile*gaussian counts past int32
+    packing)."""
+    xyz, rot, s, o, c = scene(96, seed=12, spread=0.6)
+    W, H = 896, 640
+    K, E = front_camera(W, H, focal=3000.0, dist=2.5)
+    cam = make_camera(K, E, W, H)
+    proj = splat.project_gaussians(
+        xyz, rot, splat.activate_scales(s), splat.activate_opacity(o),
+        jnp.clip(c, 0, 1), cam)
+    o1, i1, m1 = splat.bin_gaussians_sorted(proj, W, H, 16, key_mode="packed")
+    o2, i2, m2 = splat.bin_gaussians_sorted(proj, W, H, 16, key_mode="lexsort")
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+    np.testing.assert_array_equal(np.asarray(i1)[np.asarray(m1)],
+                                  np.asarray(i2)[np.asarray(m2)])
+
+
+def test_render_tiles_reference_resolution_896x640():
+    """Full sorted-path render at IDOL's 896x640 matches the top-k-binned
+    render exactly (end-to-end through compositing)."""
+    xyz, rot, s, o, c = scene(96, seed=13, spread=0.5)
+    W, H = 896, 640
+    K, E = front_camera(W, H, focal=2000.0, dist=2.5)
+    cam = make_camera(K, E, W, H)
+    proj = splat.project_gaussians(
+        xyz, rot, splat.activate_scales(s), splat.activate_opacity(o),
+        jnp.clip(c, 0, 1), cam)
+    img_a = np.asarray(splat.render_tiles(proj, W, H, max_per_tile=96,
+                                          binner="sorted", max_window=24))
+    img_b = np.asarray(splat.render_tiles(proj, W, H, max_per_tile=96,
+                                          binner="topk"))
+    np.testing.assert_allclose(img_a, img_b, atol=1e-6)
