@@ -46,6 +46,7 @@ def build_avatar_config(cfg: Config) -> AvatarConfig:
         no_point_refiner=rd.get("no_point_refiner", False),
         image_size=tuple(ds.image_size),
         rgb=rd.get("rgb", True),
+        sh_degree=rd.get("sh_degree", 0),
         max_per_tile=rd.get("max_per_tile", 512),
         image_feature_dim=se.image_feature_dim,
         vit_depth=se.get("vit_depth", 40),

@@ -117,6 +117,10 @@ class AudioTriplaneNet(nn.Module):
             num_layers=self.layers, heads=self.heads, head_dim=self.head_dim,
             in_channels=self.feature_dim, context_dim=self.audio_feature_dim,
             dtype=self.compute_dtype,
+            # S=6304 self-attention: tuned Pallas flash beats XLA 2.76 vs
+            # 4.11 ms/layer on v5e (tools/attn_probe.py); TPU-only gate in
+            # Attention keeps CPU tests on the dense path.
+            use_flash=True,
             name="transformer")
 
         tri_motion = tri_reducer(triplane_tokens)      # (B, C, S_tri)

@@ -95,6 +95,8 @@ class TriplaneGaussianAvatar(nn.Module):
             point_refiner=self.point_refiner,
             compute_dtype=cdt,
             frames_per_chunk=c.frames_per_chunk,
+            rgb=c.rgb,
+            sh_degree=c.sh_degree,
             name="renderer")
 
     def __call__(self, statics: RendererStatics, images: jnp.ndarray,

@@ -38,6 +38,7 @@ class AvatarConfig:
     no_point_refiner: bool = False
     image_size: Tuple[int, int] = (1024, 1024)   # (H, W)
     rgb: bool = True
+    sh_degree: int = 0  # SH degree for the rgb=False view-dependent branch
     max_per_tile: int = 512
     # sapiens_encoder.yaml
     image_feature_dim: int = 1536

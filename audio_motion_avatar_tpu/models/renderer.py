@@ -32,7 +32,7 @@ import flax.linen as nn
 from ..ops import smplx as smplx_ops
 from ..ops import splat, subdivision
 from ..ops.math_utils import inverse_sigmoid
-from ..ops.triplane import sample_triplane, tokens_to_planes
+from ..ops.triplane import sample_triplane_nhwc, tokens_to_planes
 from .triplane_encoder import flatten_params
 from .upsampler import TriplaneUpsampler
 
@@ -81,12 +81,17 @@ class Renderer(nn.Module):
     splat_mode: str = "pallas"            # 'pallas' | 'tiles' | 'naive'
     splat_max_window: int = 4             # sorted-binning tile window
     frames_per_chunk: int = 1             # frames per scan step (memory vs MXU)
+    rgb: bool = True                      # renderer.yaml:22; False -> SH colors
+    sh_degree: int = 0                    # SH degree for the rgb=False branch
 
     def setup(self):
         if self.upsample_triplane:
+            # channels_last: planes stay NHWC from the conv stack straight
+            # into the bilinear gathers — no 512^2-sized relayout passes.
             self.upsampler = TriplaneUpsampler(self.feature_dim,
                                                self.num_upsample_blocks,
                                                dtype=self.compute_dtype,
+                                               channels_last=True,
                                                name="upsampler")
         if self.point_refiner is not None:
             self.refine_mlp = nn.Sequential([
@@ -112,7 +117,12 @@ class Renderer(nn.Module):
                                       bias_init=bias_const([-1.0] * 3))
         self.opacity_layer = nn.Dense(1, kernel_init=zeros,
                                       bias_init=bias_const([inverse_sigmoid(0.1)]))
-        self.shs_layer = nn.Dense(3, kernel_init=zeros, bias_init=zeros)
+        # rgb=True: 3 final RGB channels (reference head, renderer.py:55);
+        # rgb=False: 3*(deg+1)^2 SH coefficients evaluated per view
+        # (renderer.py:539-547 — the reference head stays 3-wide, which only
+        # supports deg 0; widening it is the faithful generalization).
+        shs_dim = 3 if self.rgb else 3 * (self.sh_degree + 1) ** 2
+        self.shs_layer = nn.Dense(shs_dim, kernel_init=zeros, bias_init=zeros)
         del in_dim
 
     def get_vertices(self, statics: RendererStatics, smpl_params: dict) -> jnp.ndarray:
@@ -136,16 +146,17 @@ class Renderer(nn.Module):
         512^2 plane memory.
         """
         F = planes_lr.shape[0]
-        planes = planes_lr
         if self.upsample_triplane:
-            planes = self.upsampler(planes)
+            planes = self.upsampler(planes_lr)        # (F, 3, H', W', C)
+        else:
+            planes = jnp.transpose(planes_lr, (0, 1, 3, 4, 2))  # small relayout
 
-        feats = sample_triplane(planes, points, self.radius)  # (F, N, 3C)
+        feats = sample_triplane_nhwc(planes, points, self.radius)  # (F, N, 3C)
         if self.point_refiner is not None:
             point_feats = self.point_refiner(points, feats)
             offsets = self.refine_mlp(point_feats)
             points = points + offsets
-            feats = sample_triplane(planes, points, self.radius)
+            feats = sample_triplane_nhwc(planes, points, self.radius)
 
         dec_in = jnp.concatenate([points, feats], axis=-1)
         xyz_off = self.xyz_layer(dec_in)
@@ -154,7 +165,9 @@ class Renderer(nn.Module):
         opacity = self.opacity_layer(dec_in)
         shs = self.shs_layer(dec_in)
 
-        # construct_gaussians (renderer.py:319-346)
+        # construct_gaussians (renderer.py:319-346). The sigmoid applies in
+        # BOTH color modes (reference quirk: construct_gaussians sigmoids
+        # before the rgb/SH branch in render_one, renderer.py:335,539-547).
         rot = rot / jnp.clip(jnp.linalg.norm(rot, axis=-1, keepdims=True), 1e-8)
         gaussians = {
             "xyz": points + xyz_off + transl,
@@ -175,7 +188,8 @@ class Renderer(nn.Module):
                     gaussians["color"][f],
                     K[f], E[f], self.image_width, self.image_height,
                     max_per_tile=self.max_per_tile,
-                    mode=mode, max_window=self.splat_max_window))
+                    mode=mode, max_window=self.splat_max_window,
+                    sh_degree=None if self.rgb else self.sh_degree))
             img = jnp.stack(imgs)
         else:
             img = jnp.zeros((F, self.image_height, self.image_width, 3))

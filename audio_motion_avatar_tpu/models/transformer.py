@@ -63,9 +63,9 @@ class Attention(nn.Module):
     out_dim: int
     context_dim: Optional[int] = None
     dtype: Optional[Dtype] = None
-    # Flash kernel measured SLOWER than XLA attention at the rollout's
-    # (B=1, H=8, S=6304, D=64) shape on v5e (block sizes untuned) — opt-in
-    # until tuned.
+    # Tuned on v5e at the audio rollout's (B=1, H=8, S=6304, D=64) shape
+    # (tools/attn_probe.py): flash q1024/k1024 = 2.76 ms vs XLA bf16
+    # materialized = 4.11 ms per layer. Opt-in per call site.
     use_flash: bool = False
 
     @nn.compact
@@ -108,11 +108,12 @@ class Attention(nn.Module):
     @staticmethod
     def _flash(q, k, v, scale):
         """(B, S, H, D) -> (B, S, H, D) via the Pallas TPU kernel; pads the
-        sequence to a block multiple with segment-id masking."""
+        sequence to a block multiple with segment-id masking. Block sizes
+        tuned on v5e at S~6304 (tools/attn_probe.py)."""
         from jax.experimental.pallas.ops.tpu import flash_attention as fa
 
         B, S, H, D = q.shape
-        BLOCK = 512
+        BLOCK = 1024
         Sp = ((S + BLOCK - 1) // BLOCK) * BLOCK
         pad = Sp - S
 
@@ -124,9 +125,11 @@ class Attention(nn.Module):
         vh = p(v).transpose(0, 2, 1, 3)
         seg = jnp.where(jnp.arange(Sp) < S, 1, 2).astype(jnp.int32)
         seg = jnp.broadcast_to(seg[None], (B, Sp))
+        bs = fa.BlockSizes(block_q=BLOCK, block_k_major=BLOCK, block_k=BLOCK,
+                           block_b=1)
         out = fa.flash_attention(qh, kh, vh,
                                  segment_ids=fa.SegmentIds(q=seg, kv=seg),
-                                 sm_scale=scale)
+                                 sm_scale=scale, block_sizes=bs)
         return out.transpose(0, 2, 1, 3)[:, :S]
 
 
@@ -155,12 +158,14 @@ class TransformerBlock(nn.Module):
     head_dim: int
     context_dim: Optional[int] = None
     dtype: Optional[Dtype] = None
+    use_flash: bool = False  # self-attention only; cross KV is tiny
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         h = nn.LayerNorm(name="norm1", dtype=self.dtype)(x)
         x = x + Attention(self.heads, self.head_dim, self.dim,
-                          dtype=self.dtype, name="attn1")(h)
+                          dtype=self.dtype, use_flash=self.use_flash,
+                          name="attn1")(h)
         if self.context_dim is not None:
             h = nn.LayerNorm(name="norm2", dtype=self.dtype)(x)
             x = x + Attention(self.heads, self.head_dim, self.dim,
@@ -185,6 +190,7 @@ class Transformer1D(nn.Module):
     norm_num_groups: int = 32
     remat: bool = True
     dtype: Optional[Dtype] = None
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, tokens: jnp.ndarray,
@@ -204,6 +210,7 @@ class Transformer1D(nn.Module):
         for i in range(self.num_layers):
             h = block_cls(self.heads * self.head_dim, self.heads, self.head_dim,
                           context_dim=self.context_dim, dtype=self.dtype,
+                          use_flash=self.use_flash,
                           name=f"block_{i}")(h, context)
 
         h = _dense(self.in_channels, ("embed_inner", "embed"),

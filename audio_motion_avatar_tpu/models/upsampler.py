@@ -120,15 +120,22 @@ class UpsampleBlock(nn.Module):
 class TriplaneUpsampler(nn.Module):
     """N x (nearest-2x + conv + ResBlock) with a nearest-2x skip path
     (renderer.py:377-417). 32 -> 32*2^N resolution. Computes in `dtype`
-    (bf16 recommended), returns float32."""
+    (bf16 recommended).
+
+    channels_last=True returns (B, 3, H', W', C) in the COMPUTE dtype,
+    skipping the output NHWC->NCHW relayout + fp32 cast — at full scale
+    those are two extra passes over 18 x 512^2 x 256 of HBM per rollout;
+    pair with ops.triplane.sample_triplane_nhwc."""
 
     feature_dim: int = 256
     num_blocks: int = 4
     dtype: Optional[jnp.dtype] = None
+    channels_last: bool = False
 
     @nn.compact
     def __call__(self, planes: jnp.ndarray) -> jnp.ndarray:
-        """planes: (B, 3, C, H, W) -> (B, 3, C, H*2^N, W*2^N)."""
+        """planes: (B, 3, C, H, W) -> (B, 3, C, H*2^N, W*2^N)
+        (or (B, 3, H*2^N, W*2^N, C) when channels_last)."""
         B, P, C, H, W = planes.shape
         x = planes.reshape(B * P, C, H, W).transpose(0, 2, 3, 1)  # NHWC
         if self.dtype is not None:
@@ -144,9 +151,11 @@ class TriplaneUpsampler(nn.Module):
                                dtype=self.dtype)(skip)
             skip = _nearest2x(skip)
             x = up + skip
+        Hn, Wn, Cn = x.shape[1:4]
+        if self.channels_last:
+            return x.reshape(B, P, Hn, Wn, Cn)
         out = x.astype(jnp.float32).transpose(0, 3, 1, 2)
-        Hn, Wn = out.shape[-2:]
-        return out.reshape(B, P, C, Hn, Wn)
+        return out.reshape(B, P, Cn, Hn, Wn)
 
 
 class ConvNeXtBlock(nn.Module):

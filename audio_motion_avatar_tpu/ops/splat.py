@@ -436,22 +436,47 @@ def render_tiles(proj: Projected, width: int, height: int,
 # High-level API (reference render_one / render_batch semantics)
 # ---------------------------------------------------------------------------
 
+def sh_colors(shs: jnp.ndarray, xyz: jnp.ndarray, cam_center: jnp.ndarray,
+              sh_degree: int) -> jnp.ndarray:
+    """View-dependent color from SH coefficients (the reference's
+    `rgb: false` branch, renderer.py:539-547): evaluate SH along the
+    camera->gaussian direction, +0.5 offset, clamp below at 0.
+
+    shs: (N, 3*(deg+1)^2) flat coefficients in the reference's layout
+    (reshape(N, coeffs, 3) then channel-major for eval).
+    """
+    from .sh import eval_sh
+    n = shs.shape[0]
+    coeffs = (sh_degree + 1) ** 2
+    sh = shs.reshape(n, coeffs, 3).swapaxes(-1, -2)       # (N, 3, coeffs)
+    d = xyz - cam_center[None, :]
+    d = d / jnp.clip(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-8)
+    return jnp.maximum(eval_sh(sh_degree, sh, d) + 0.5, 0.0)
+
+
 def render_one(xyz: jnp.ndarray, rot: jnp.ndarray, raw_scales: jnp.ndarray,
                raw_opacity: jnp.ndarray, colors: jnp.ndarray,
                K: jnp.ndarray, E: jnp.ndarray, width: int, height: int,
                bg_color=(1.0, 1.0, 1.0), max_per_tile: int = 512,
-               mode: str = "tiles", max_window: int = 8) -> jnp.ndarray:
+               mode: str = "tiles", max_window: int = 8,
+               sh_degree=None) -> jnp.ndarray:
     """Single-view render with the reference's activations
-    (renderer.py:481-569). colors are final RGB in [0,1] (args.rgb=True path).
+    (renderer.py:481-569). colors are final RGB in [0,1] (args.rgb=True
+    path) or, with sh_degree set, flat SH coefficients (N, 3*(deg+1)^2)
+    evaluated per view (the `rgb: false` branch, renderer.py:539-547).
 
     mode: 'pallas' (TPU kernel; fastest, not vmappable), 'tiles' (XLA,
     vmap-safe), 'naive' (gold reference, test sizes only).
     """
     cam = make_camera(K, E, width, height)
+    if sh_degree is not None:
+        rgb = sh_colors(colors, xyz, cam.center, sh_degree)
+    else:
+        rgb = jnp.clip(colors, 0.0, 1.0)
     proj = project_gaussians(
         xyz, rot, activate_scales(raw_scales),
         activate_opacity(raw_opacity.squeeze(-1) if raw_opacity.ndim == 2 else raw_opacity),
-        jnp.clip(colors, 0.0, 1.0), cam)
+        rgb, cam)
     if mode == "naive":
         return render_naive(proj, width, height, bg_color)
     if mode == "pallas":
@@ -463,14 +488,16 @@ def render_one(xyz: jnp.ndarray, rot: jnp.ndarray, raw_scales: jnp.ndarray,
                         max_per_tile=max_per_tile, max_window=max_window)
 
 
-@partial(jax.jit, static_argnames=("width", "height", "max_per_tile", "mode"))
+@partial(jax.jit, static_argnames=("width", "height", "max_per_tile", "mode",
+                                   "sh_degree"))
 def render_batch(gaussians: dict, K: jnp.ndarray, E: jnp.ndarray,
                  width: int, height: int, max_per_tile: int = 512,
-                 mode: str = "tiles") -> jnp.ndarray:
+                 mode: str = "tiles", sh_degree=None) -> jnp.ndarray:
     """Batched multi-view render — the TPU answer to the reference's serial
     per-view python loop (renderer.py:447-479): one vmap over B*T views.
 
-    gaussians: dict with xyz (B,T,N,3) or (BT,N,3), rot, scale, opacity, color.
+    gaussians: dict with xyz (B,T,N,3) or (BT,N,3), rot, scale, opacity,
+    color (RGB, or flat SH coefficients when sh_degree is set).
     K: (..., 3, 3), E: (..., 4, 4). Returns (..., H, W, 3).
     """
     lead = E.shape[:-2]
@@ -485,10 +512,12 @@ def render_batch(gaussians: dict, K: jnp.ndarray, E: jnp.ndarray,
     rot = flat(gaussians["rot"], 4)
     scale = flat(gaussians["scale"], 3)
     opac = gaussians["opacity"].reshape(n, -1)
-    color = flat(gaussians["color"], 3)
+    color = flat(gaussians["color"], gaussians["color"].shape[-1])
 
     def one(x, r, s, o, c, k, e):
-        return render_one(x, r, s, o, c, k, e, width, height)
+        return render_one(x, r, s, o, c, k, e, width, height,
+                          max_per_tile=max_per_tile, mode=mode,
+                          sh_degree=sh_degree)
 
     imgs = jax.vmap(one)(xyz, rot, scale, opac, color, Kf, Ef)
     return imgs.reshape(lead + (height, width, 3))

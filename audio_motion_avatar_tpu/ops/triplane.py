@@ -135,6 +135,38 @@ def grid_sample_2d(feat: jnp.ndarray, grid_xy: jnp.ndarray) -> jnp.ndarray:
     return out  # (N, C)
 
 
+def grid_sample_2d_nhwc(feat: jnp.ndarray, grid_xy: jnp.ndarray) -> jnp.ndarray:
+    """`grid_sample_2d` for channel-LAST planes: feat (H, W, C). Taps gather
+    channel-contiguous rows directly — no (C,H,W)->(H*W,C) transpose pass,
+    which at the renderer's 512^2 x 256 planes is a ~134MB/plane relayout
+    the NCHW path pays on every sample call."""
+    H, W, C = feat.shape
+    feat_rows = feat.reshape(H * W, C)
+    x = (grid_xy[:, 0] + 1.0) * (W * 0.5) - 0.5
+    y = (grid_xy[:, 1] + 1.0) * (H * 0.5) - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx1 = x - x0
+    wy1 = y - y0
+    wx0 = 1.0 - wx1
+    wy0 = 1.0 - wy1
+
+    def tap(xi, yi, w):
+        inb = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        xc = jnp.clip(xi, 0, W - 1)
+        yc = jnp.clip(yi, 0, H - 1)
+        # gather in the planes' dtype (HBM-bound), accumulate in fp32
+        vals = jnp.take(feat_rows, yc * W + xc, axis=0)  # (N, C) contiguous
+        return vals.astype(jnp.float32) * (w * inb)[:, None]
+
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    return (tap(x0i, y0i, wx0 * wy0)
+            + tap(x0i + 1, y0i, wx1 * wy0)
+            + tap(x0i, y0i + 1, wx0 * wy1)
+            + tap(x0i + 1, y0i + 1, wx1 * wy1))
+
+
 def sample_triplane(planes: jnp.ndarray, points: jnp.ndarray, radius: float) -> jnp.ndarray:
     """Sample 3 planes and concat features (renderer.py:292-317).
 
@@ -151,6 +183,24 @@ def sample_triplane(planes: jnp.ndarray, points: jnp.ndarray, radius: float) -> 
         return jnp.concatenate(feats, axis=-1)
 
     return jax.vmap(one)(planes, u)
+
+
+def sample_triplane_nhwc(planes: jnp.ndarray, points: jnp.ndarray,
+                         radius: float) -> jnp.ndarray:
+    """`sample_triplane` for channel-last planes: (B, 3, H, W, C) ->
+    (B, N, 3*C) float32. Identical math/order to the NCHW version; the
+    gather runs in the planes' dtype (bf16 halves the tap traffic) with
+    fp32 bilinear weights/accumulation."""
+    u = jnp.clip(points / radius, -1.0, 1.0)
+
+    def one(pl, uu):
+        feats = []
+        for pi, (a0, a1) in enumerate(PLANE_AXES):
+            g = jnp.stack([uu[:, a0], uu[:, a1]], axis=-1)
+            feats.append(grid_sample_2d_nhwc(pl[pi], g))
+        return jnp.concatenate(feats, axis=-1)
+
+    return jax.vmap(one)(planes, u).astype(jnp.float32)
 
 
 def tokens_to_planes(tokens: jnp.ndarray, resolution: int) -> jnp.ndarray:

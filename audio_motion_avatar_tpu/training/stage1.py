@@ -51,7 +51,8 @@ def stage1_loss(model, params, statics, ref_batch, test_batch, cfg):
         novel = render_multi_view(gaussians_b,
                                   test_batch.cam_parms["intrinsic"],
                                   test_batch.cam_parms["extrinsic"],
-                                  W, H, max_per_tile=cfg.max_per_tile)
+                                  W, H, max_per_tile=cfg.max_per_tile,
+                                  sh_degree=None if cfg.rgb else cfg.sh_degree)
         test_hwc = jnp.transpose(test_batch.video, (0, 1, 3, 4, 2))
         l1_test = L.l1_loss(novel, test_hwc)
         ssim_test = 1.0 - L.ssim(novel, test_hwc)

@@ -1,19 +1,22 @@
-"""Benchmark: differentiable Gaussian splat rendering on one TPU chip.
+"""Benchmark: END-TO-END serving throughput on one TPU chip.
 
-Measures the framework's centerpiece kernel at the north-star operating
-point (BASELINE.md: >= 25 fps end-to-end audio -> 512x512 avatar on one
-v5e): 30,000 Gaussians rasterized to 512x512 through projection + sorted
-tile binning + the Pallas compositing kernel.
+PRIMARY metric (the north star, BASELINE.md): audio features -> rendered
+512x512 avatar frames through the EXACT stage-2 serving program — the
+AudioTriplaneNet AR rollout (8L x 6 steps, flash attention), shared SMPLX
+decoder, triplane upsampler 32->512, SMPLX FK/LBS + subdivision to 30k
+gaussians, bilinear triplane sampling x2, PTv3 point refiner, gaussian
+heads, and the Pallas tile splat — at full reference dims, bf16 compute.
 
-Methodology: 20 frames rendered inside ONE compiled program (lax.fori_loop,
-perturbing positions per frame so nothing folds away) — matching how the
-pipeline actually runs (stage 2 renders whole 6-frame rollouts per
-dispatch) and excluding this environment's fixed per-dispatch relay
-overhead (~30 ms, measured).
+Reference demo semantics (src/main2.py:159-319): TWO interleaved frame
+streams, 6-frame chunks each; our demo batches both streams as B=2 through
+one compiled rollout, so the output video rate is (2*6) frames per rollout.
+fps = 12 / rollout seconds, fenced by host transfers (block_until_ready is
+unreliable through the axon relay; float() forces the sync).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"};
 vs_baseline = fps / 25 (driver-set north star; the reference publishes no
-numbers — BASELINE.md).
+numbers — BASELINE.md). Falls back to the round-1 splat microbench if the
+full pipeline cannot run (e.g. no TPU attached).
 """
 
 import json
@@ -25,18 +28,30 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(os.path.dirname(__file__), ".jax_cache"))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-import numpy as np
-import jax
-import jax.numpy as jnp
-
-FRAMES = 20
+NORTH_STAR_FPS = 25.0
 
 
-def main():
+def e2e_serving():
+    from tools.serve_bench import run
+    res = run(batch=2, frames_per_chunk=6, ablate="none", reps=3,
+              image_size=(512, 512))
+    return {
+        "metric": "e2e_audio_to_512px_avatar",
+        "value": round(res["fps"], 2),
+        "unit": "fps",
+        "vs_baseline": round(res["fps"] / NORTH_STAR_FPS, 3),
+    }
+
+
+def splat_microbench():
+    """Round-1 fallback: the splat kernel alone (30k gaussians, 512^2)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
     from audio_motion_avatar_tpu.ops import splat, splat_pallas
     from audio_motion_avatar_tpu.ops.cameras import make_camera
 
-    N, W, H = 30000, 512, 512
+    N, W, H, FRAMES = 30000, 512, 512, 20
     rng = np.random.RandomState(0)
     xyz = jnp.asarray((rng.randn(N, 3) * np.array([0.25, 0.6, 0.15])).astype(np.float32))
     rot = rng.randn(N, 4).astype(np.float32)
@@ -61,23 +76,28 @@ def main():
 
         return jax.lax.fori_loop(0, FRAMES, body, 0.0)
 
-    # NOTE: on this environment block_until_ready does not reliably block
-    # (async relay); converting the scalar result to a python float forces a
-    # real device->host sync, so every rep is fenced by float().
     float(render_frames(xyz, raw_s, raw_o, col))  # compile + sync
     reps = 3
     t0 = time.time()
     for _ in range(reps):
         float(render_frames(xyz, raw_s, raw_o, col))
     dt = (time.time() - t0) / (reps * FRAMES)
-    fps = 1.0 / dt
-
-    print(json.dumps({
+    return {
         "metric": "splat_render_30k_gaussians_512px",
-        "value": round(fps, 2),
+        "value": round(1.0 / dt, 2),
         "unit": "fps",
-        "vs_baseline": round(fps / 25.0, 3),
-    }))
+        "vs_baseline": round((1.0 / dt) / NORTH_STAR_FPS, 3),
+    }
+
+
+def main():
+    try:
+        out = e2e_serving()
+    except Exception as e:  # noqa: BLE001 — emit SOMETHING for the driver
+        print(f"[bench] e2e path failed ({type(e).__name__}: {e}); "
+              "falling back to splat microbench", file=sys.stderr)
+        out = splat_microbench()
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -10,6 +10,7 @@ from audio_motion_avatar_tpu.models.avatar import TriplaneGaussianAvatar
 from audio_motion_avatar_tpu.models.config import AvatarConfig
 from audio_motion_avatar_tpu.models.renderer import build_renderer_statics
 from audio_motion_avatar_tpu.ops import smplx as smplx_ops
+from audio_motion_avatar_tpu.parallel import mesh as pmesh
 
 CFG = AvatarConfig.tiny(image_size=(64, 64))
 SMPLX = smplx_ops.synthetic_model(seed=0, num_verts=400)
@@ -121,3 +122,19 @@ def test_encoder_upsample_triplane_path():
                                           batch.smpl_parms, None)
     assert planes.shape == (1, 1, 3, 32, 8, 8)
     assert np.isfinite(np.asarray(planes)).all()
+
+
+def test_avatar_sh_color_mode_forward():
+    """rgb=False (SH branch): the widened shs head + per-view SH evaluation
+    run end-to-end through the avatar forward."""
+    import dataclasses
+    cfg_sh = dataclasses.replace(CFG, rgb=False, sh_degree=1)
+    model = TriplaneGaussianAvatar(cfg=cfg_sh, num_verts_encoder=NUM_VERTS_ENC)
+    ref = make_batch(1, 1, CFG.image_size, seed=0)
+    cam = {k: jnp.asarray(v) for k, v in ref.cam_parms.items()}
+    variables = model.init(jax.random.PRNGKey(0), STATICS,
+                           jnp.asarray(ref.video), ref.smpl_parms, cam)
+    out = model.apply(pmesh.unbox(variables), STATICS,
+                      jnp.asarray(ref.video), ref.smpl_parms, cam)
+    assert out.gaussians["color"].shape[-1] == 3 * 4  # deg 1 -> 4 coeffs x 3
+    assert np.isfinite(np.asarray(out.rendered_images)).all()

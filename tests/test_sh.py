@@ -50,3 +50,57 @@ def test_deg4_runs():
     out = sh.eval_sh(4, coeffs, dirs)
     assert out.shape == (7, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sh_color_branch_deg0_matches_rgb_path():
+    """render_one(sh_degree=0) with RGB2SH-converted coefficients must equal
+    the plain RGB path (the reference's rgb-vs-SH branch at deg 0,
+    renderer.py:539-547)."""
+    import jax.numpy as jnp
+    from audio_motion_avatar_tpu.ops import splat
+    from audio_motion_avatar_tpu.ops.sh import rgb_to_sh
+
+    rng = np.random.RandomState(7)
+    n = 48
+    xyz = jnp.asarray((rng.randn(n, 3) * 0.4).astype(np.float32))
+    rot = rng.randn(n, 4).astype(np.float32)
+    rot[:, 0] += 3.0
+    s = jnp.asarray(rng.randn(n, 3).astype(np.float32) * 0.3)
+    o = jnp.asarray(rng.randn(n).astype(np.float32))
+    c = jnp.asarray(rng.rand(n, 3).astype(np.float32) * 0.8 + 0.1)
+    K = jnp.asarray([[80.0, 0, 32.0], [0, 80.0, 32.0], [0, 0, 1.0]])
+    E = jnp.eye(4).at[2, 3].set(2.0)
+
+    img_rgb = np.asarray(splat.render_one(xyz, jnp.asarray(rot), s, o, c,
+                                          K, E, 64, 64))
+    sh0 = rgb_to_sh(c)  # (n, 3) = flat coefficients for deg 0
+    img_sh = np.asarray(splat.render_one(xyz, jnp.asarray(rot), s, o, sh0,
+                                         K, E, 64, 64, sh_degree=0))
+    np.testing.assert_allclose(img_sh, img_rgb, atol=1e-5)
+
+
+def test_sh_color_branch_deg1_view_dependent():
+    """At deg>=1 the color must change with the viewing direction."""
+    import jax.numpy as jnp
+    from audio_motion_avatar_tpu.ops import splat
+
+    n = 8
+    rng = np.random.RandomState(8)
+    xyz = jnp.asarray((rng.randn(n, 3) * 0.2).astype(np.float32))
+    rot = np.tile([[1.0, 0, 0, 0]], (n, 1)).astype(np.float32)
+    s = jnp.full((n, 3), 2.0)
+    o = jnp.full((n,), 4.0)
+    shs = jnp.asarray(rng.randn(n, 12).astype(np.float32) * 0.3)  # deg 1
+    K = jnp.asarray([[80.0, 0, 32.0], [0, 80.0, 32.0], [0, 0, 1.0]])
+    E1 = jnp.eye(4).at[2, 3].set(2.0)
+    # opposite side: rotate 180 deg about y
+    R = jnp.asarray([[-1.0, 0, 0], [0, 1.0, 0], [0, 0, -1.0]])
+    E2 = jnp.eye(4).at[:3, :3].set(R).at[2, 3].set(2.0)
+
+    i1 = np.asarray(splat.render_one(xyz, jnp.asarray(rot), s, o, shs,
+                                     K, E1, 64, 64, sh_degree=1))
+    i2 = np.asarray(splat.render_one(xyz, jnp.asarray(rot), s, o, shs,
+                                     K, E2, 64, 64, sh_degree=1))
+    assert np.isfinite(i1).all() and np.isfinite(i2).all()
+    # same blob seen from opposite sides -> different SH colors
+    assert np.abs(i1 - i2).max() > 1e-3

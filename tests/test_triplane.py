@@ -87,3 +87,26 @@ def test_tokens_planes_roundtrip():
     assert planes.shape == (2, 7, 3, 5, 4, 4)
     back = T.planes_to_tokens(planes)
     np.testing.assert_allclose(np.asarray(back), np.asarray(x))
+
+
+def test_sample_triplane_nhwc_matches_nchw():
+    """The channel-last sampler (the renderer's layout) must agree with the
+    NCHW reference path, including bf16-plane gathers within tolerance."""
+    import jax.numpy as jnp
+    import numpy as np
+    from audio_motion_avatar_tpu.ops import triplane as T
+
+    rng = np.random.RandomState(11)
+    planes = rng.randn(2, 3, 16, 8, 8).astype(np.float32)  # (B,3,C,H,W)
+    pts = (rng.rand(2, 40, 3) * 2 - 1).astype(np.float32) * 1.2
+    radius = 1.4
+    ref = np.asarray(T.sample_triplane(jnp.asarray(planes),
+                                       jnp.asarray(pts), radius))
+    nhwc = jnp.transpose(jnp.asarray(planes), (0, 1, 3, 4, 2))
+    out = np.asarray(T.sample_triplane_nhwc(nhwc, jnp.asarray(pts), radius))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    out_bf16 = np.asarray(T.sample_triplane_nhwc(
+        nhwc.astype(jnp.bfloat16), jnp.asarray(pts), radius))
+    np.testing.assert_allclose(out_bf16, ref, atol=3e-2)
+    assert out_bf16.dtype == np.float32

@@ -1,0 +1,116 @@
+"""Probe: attention implementations at the audio-rollout shape.
+
+The stage-2 AR rollout runs 8 layers x 6 steps of self-attention over
+S=6304 tokens (3072 tri-motion + 80 smpl-motion + 3072 last-tri + 80
+last-smpl), H=8 heads, D=64. The S^2 logits are ~636MB/layer in bf16 —
+the HBM bottleneck of the audio net. This probe times, inside ONE jit
+(fori_loop, input perturbed per iter, float() fenced — bench methodology
+from the verify skill):
+
+  * XLA materialized attention (the current default path)
+  * Pallas flash attention across a block-size grid
+
+Usage: python tools/attn_probe.py [--batch 1] [--seq 6304] [--iters 20]
+"""
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def time_fn(fn, q, k, v, iters):
+    @jax.jit
+    def loop(q, k, v):
+        def body(i, acc):
+            out = fn(q + 1e-6 * i, k, v)
+            return acc + out.mean()
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+    float(loop(q, k, v))  # compile + sync
+    t0 = time.time()
+    float(loop(q, k, v))
+    return (time.time() - t0) / iters * 1000.0
+
+
+def xla_attn(q, k, v):
+    # (B, S, H, D) bf16, logits in bf16 (compute-dtype semantics)
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("bshd,bthd->bhst", q, k) * scale
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhst,bthd->bshd", probs, v)
+
+
+def flash_attn(block_q, block_k, q, k, v):
+    from jax.experimental.pallas.ops.tpu import flash_attention as fa
+    B, S, H, D = q.shape
+    BLK = max(block_q, block_k)
+    Sp = ((S + BLK - 1) // BLK) * BLK
+    pad = Sp - S
+
+    def p(t):
+        return jnp.pad(t, ((0, 0), (0, pad), (0, 0), (0, 0)))
+
+    qh = p(q).transpose(0, 2, 1, 3)
+    kh = p(k).transpose(0, 2, 1, 3)
+    vh = p(v).transpose(0, 2, 1, 3)
+    seg = jnp.where(jnp.arange(Sp) < S, 1, 2).astype(jnp.int32)
+    seg = jnp.broadcast_to(seg[None], (B, Sp))
+    bs = fa.BlockSizes(block_q=block_q, block_k_major=block_k,
+                       block_k=block_k, block_b=1)
+    out = fa.flash_attention(qh, kh, vh,
+                             segment_ids=fa.SegmentIds(q=seg, kv=seg),
+                             sm_scale=D ** -0.5, block_sizes=bs)
+    return out.transpose(0, 2, 1, 3)[:, :S]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--seq", type=int, default=6304)
+    ap.add_argument("--heads", type=int, default=8)
+    ap.add_argument("--dim", type=int, default=64)
+    ap.add_argument("--iters", type=int, default=20)
+    a = ap.parse_args()
+
+    rng = np.random.RandomState(0)
+    shape = (a.batch, a.seq, a.heads, a.dim)
+    q = jnp.asarray(rng.randn(*shape), jnp.bfloat16)
+    k = jnp.asarray(rng.randn(*shape), jnp.bfloat16)
+    v = jnp.asarray(rng.randn(*shape), jnp.bfloat16)
+
+    results = {}
+    results["xla_bf16"] = time_fn(xla_attn, q, k, v, a.iters)
+    print(json.dumps({"impl": "xla_bf16", "ms": round(results['xla_bf16'], 3)}),
+          flush=True)
+
+    for bq in (512, 1024, 2048):
+        for bk in (512, 1024, 2048):
+            name = f"flash_q{bq}_k{bk}"
+            try:
+                ms = time_fn(functools.partial(flash_attn, bq, bk),
+                             q, k, v, a.iters)
+                results[name] = ms
+                print(json.dumps({"impl": name, "ms": round(ms, 3)}), flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(json.dumps({"impl": name, "error": str(e)[:120]}),
+                      flush=True)
+
+    best = min(results, key=results.get)
+    print(json.dumps({"best": best, "ms": round(results[best], 3),
+                      "batch": a.batch, "seq": a.seq}))
+
+
+if __name__ == "__main__":
+    main()

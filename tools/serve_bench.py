@@ -1,0 +1,165 @@
+"""End-to-end serving benchmark: audio features -> rendered 512x512 frames.
+
+Measures the EXACT demo-serving program (main2.run_demo's jitted `rollout`):
+AudioTriplaneNet AR rollout (8L x T_out steps) -> shared SMPLXDecoder ->
+Renderer (triplane upsample 32->512, SMPLX FK/LBS + subdivision to 30k
+gaussians, triplane sampling x2, PTv3 refiner, gaussian heads, Pallas splat)
+at full reference dims, bf16 compute.
+
+Reference semantics (reference src/main2.py:159-319): the demo interleaves
+TWO frame streams (even/odd video frames), each chunk a T_out=6-frame
+rollout; the output video consumes 12 frames per stream pair. Our demo
+batches both streams as B=2 through ONE compiled rollout, so e2e fps =
+(B * T_out) output video frames / rollout wall time.
+
+Usage:
+  JAX_COMPILATION_CACHE_DIR=.jax_cache python tools/serve_bench.py \
+      [--batch 2] [--frames-per-chunk 6] [--ablate COMPONENT] [--reps 5]
+
+--ablate skips one component to attribute time (same graph otherwise):
+  none | audio | upsampler | refiner | render | heads
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def build(batch: int, frames_per_chunk: int, ablate: str = "none",
+          image_size=(512, 512)):
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from audio_motion_avatar_tpu.data.synthetic import make_batch
+    from audio_motion_avatar_tpu.models.audio_avatar import AudioDrivenAvatar
+    from audio_motion_avatar_tpu.models.config import AvatarConfig
+    from audio_motion_avatar_tpu.models.ptv3 import build_point_refiner
+    from audio_motion_avatar_tpu.models.renderer import build_renderer_statics
+    from audio_motion_avatar_tpu.models.triplane_encoder import reshape_params
+    from audio_motion_avatar_tpu.ops import smplx as smplx_ops
+    from audio_motion_avatar_tpu.parallel.mesh import unbox
+
+    cfg = dataclasses.replace(
+        AvatarConfig(), image_size=tuple(image_size),
+        compute_dtype="bfloat16",
+        frames_per_chunk=frames_per_chunk,
+        upsample_triplane=(ablate != "upsampler"),
+        no_point_refiner=(ablate == "refiner"))
+    smplx_model = smplx_ops.synthetic_model(seed=0)
+    statics = build_renderer_statics(smplx_model,
+                                     subdivide_steps=cfg.subdivide_steps,
+                                     densify=cfg.densify_smplx_verts)
+    nverts_enc = int(smplx_model.v_template.shape[0]) + \
+        int(np.asarray(smplx_model.faces).shape[0])
+    refiner = None if cfg.no_point_refiner else build_point_refiner(cfg)
+    model = AudioDrivenAvatar(cfg=cfg, num_verts_encoder=nverts_enc,
+                              point_refiner=refiner)
+
+    B = batch
+    T_in, T_out = cfg.triplane_input_frames, cfg.triplane_output_frames
+    C = cfg.triplane_feature_dim
+    S_tri = 3 * cfg.triplane_resolution ** 2
+    L = cfg.smpl_token_len
+    H, W = cfg.image_size
+
+    rng = np.random.RandomState(0)
+    triplanes = jnp.asarray(rng.randn(B, T_in, C, S_tri).astype(np.float32) * 0.1)
+    smpl_tokens = jnp.asarray(rng.randn(B, T_in, C, L).astype(np.float32) * 0.1)
+    audio = jnp.asarray(rng.randn(B, T_out, cfg.audio_feature_dim)
+                        .astype(np.float32) * 0.1)
+    tgt = make_batch(B, T_out, (H, W), seed=3,
+                     num_expr=cfg.num_expression_coeffs)
+    cam = {k: jnp.asarray(v) for k, v in tgt.cam_parms.items()}
+
+    # init only the needed submodules via a full init at tiny image cost:
+    # (init runs the rollout graph; use the real dims — one-time cost)
+    def rollout_fn(mdl, tri, smpl, aud, cam_chunk):
+        if ablate == "audio":
+            out_tri = jnp.repeat(tri[:, -1:], T_out, axis=1)
+            out_smpl = jnp.repeat(smpl[:, -1:], T_out, axis=1)
+        else:
+            out_tri, out_smpl = mdl.audio_triplane(aud, tri, smpl)
+        Bc, T = out_smpl.shape[:2]
+        flat = out_smpl.reshape((Bc * T,) + out_smpl.shape[2:])
+        pred = reshape_params(
+            mdl.triplane_gaussian.encoder.smpl_decoder(flat), (Bc, T))
+        rendered, _ = mdl.triplane_gaussian.renderer(
+            statics, out_tri, cam_chunk, pred, render=(ablate != "render"))
+        return rendered, out_tri, out_smpl
+
+    def init_fn(mdl, tri, smpl, aud, cam_chunk):
+        # same module graph, render skipped: params are identical and init
+        # never allocates the full-frame splat buffers
+        out_tri, out_smpl = mdl.audio_triplane(aud, tri, smpl)
+        Bc, T = out_smpl.shape[:2]
+        flat = out_smpl.reshape((Bc * T,) + out_smpl.shape[2:])
+        pred = reshape_params(
+            mdl.triplane_gaussian.encoder.smpl_decoder(flat), (Bc, T))
+        return mdl.triplane_gaussian.renderer(statics, out_tri, cam_chunk,
+                                              pred, render=False)
+
+    print("[serve_bench] init...", flush=True)
+    variables = model.init(jax.random.PRNGKey(0), triplanes, smpl_tokens,
+                           audio, cam, method=init_fn)
+    params = unbox(variables)["params"]
+    print("[serve_bench] init done", flush=True)
+
+    @jax.jit
+    def rollout(params, tri, smpl, aud, cam_chunk):
+        return model.apply({"params": params}, tri, smpl, aud, cam_chunk,
+                           method=rollout_fn)
+
+    return rollout, params, (triplanes, smpl_tokens, audio, cam), (B, T_out)
+
+
+def run(batch=2, frames_per_chunk=6, ablate="none", reps=5, image_size=(512, 512)):
+    rollout, params, args_, (B, T_out) = build(batch, frames_per_chunk,
+                                               ablate, image_size)
+    tri, smpl, aud, cam = args_
+
+    def fence(out):
+        # float() forces a device->host sync (block_until_ready is not
+        # reliable through the axon relay — round-1 finding)
+        r = out[0]
+        return float(r.mean()) if r is not None else float(out[1].mean())
+
+    print("[serve_bench] compiling rollout...", flush=True)
+    t0 = time.time()
+    fence(rollout(params, tri, smpl, aud, cam))
+    compile_s = time.time() - t0
+    print(f"[serve_bench] compile {compile_s:.1f}s", flush=True)
+    t0 = time.time()
+    for _ in range(reps):
+        fence(rollout(params, tri, smpl, aud, cam))
+    dt = (time.time() - t0) / reps
+    fps = (B * T_out) / dt
+    return {"fps": fps, "rollout_ms": dt * 1000.0, "compile_s": compile_s,
+            "batch": B, "frames": B * T_out, "ablate": ablate}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--frames-per-chunk", type=int, default=6)
+    ap.add_argument("--ablate", default="none",
+                    choices=["none", "audio", "upsampler", "refiner", "render"])
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--image-size", type=int, nargs=2, default=[512, 512])
+    a = ap.parse_args()
+    res = run(a.batch, a.frames_per_chunk, a.ablate, a.reps,
+              tuple(a.image_size))
+    print(json.dumps({k: (round(v, 2) if isinstance(v, float) else v)
+                      for k, v in res.items()}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,135 @@
+"""Full-scale train-step timing on the attached chip.
+
+Usage:
+  JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache python tools/train_bench.py [stage1|stage2]
+
+Reproduces the round-1 "full scale" configuration (BASELINE.md): bs 1,
+512x512, full synthetic SMPLX body (10475 verts), subdivide_steps 2
+(30k gaussians), PTv3 refiner ON, remat, bf16 compute; stage 1 adds 4
+novel-view renders, stage 2 the 6-frame audio rollout + render.
+
+Timing methodology (verify skill): the jitted step is dispatched a few
+times with a host-transfer fence (float(loss)) after each; the axon relay
+does not reliably honor block_until_ready.
+"""
+
+import sys
+import time
+
+import numpy as np
+
+
+def build_stage1():
+    import jax
+    import jax.numpy as jnp
+    from audio_motion_avatar_tpu.data.synthetic import make_batch
+    from audio_motion_avatar_tpu.models.avatar import TriplaneGaussianAvatar
+    from audio_motion_avatar_tpu.models.config import AvatarConfig
+    from audio_motion_avatar_tpu.models.ptv3 import build_point_refiner
+    from audio_motion_avatar_tpu.models.renderer import build_renderer_statics
+    from audio_motion_avatar_tpu.ops import smplx as smplx_ops
+    from audio_motion_avatar_tpu.parallel.mesh import unbox
+    from audio_motion_avatar_tpu.training import stage1
+    from audio_motion_avatar_tpu.training.train_state import (
+        OptimConfig, TrainState, make_optimizer)
+    import dataclasses
+
+    cfg = dataclasses.replace(AvatarConfig(), image_size=(512, 512),
+                              compute_dtype="bfloat16")
+    smplx_model = smplx_ops.synthetic_model(seed=0)
+    statics = build_renderer_statics(smplx_model,
+                                     subdivide_steps=cfg.subdivide_steps,
+                                     densify=cfg.densify_smplx_verts)
+    nverts_enc = int(smplx_model.v_template.shape[0]) + \
+        int(np.asarray(smplx_model.faces).shape[0])
+    model = TriplaneGaussianAvatar(cfg=cfg, num_verts_encoder=nverts_enc,
+                                   point_refiner=build_point_refiner(cfg))
+
+    ref = make_batch(1, 1, (512, 512), seed=1)
+    test = make_batch(1, 4, (512, 512), seed=2)
+    jx = lambda b: jax.tree_util.tree_map(jnp.asarray, b)
+    ref, test = jx(ref), jx(test)
+    variables = model.init(jax.random.PRNGKey(0), statics, ref.video,
+                           ref.smpl_parms, ref.cam_parms)
+    params = unbox(variables)["params"]
+    n_params = sum(int(np.prod(p.shape))
+                   for p in jax.tree_util.tree_leaves(params))
+    print(f"[bench] stage1 params: {n_params/1e6:.1f}M")
+    tx = make_optimizer(OptimConfig(learning_rate=5e-5, total_steps=1000))
+    state = TrainState.create(params, tx)
+    step = stage1.make_train_step(model, statics, cfg)
+    return step, state, (ref, test)
+
+
+def build_stage2():
+    import jax
+    import jax.numpy as jnp
+    from audio_motion_avatar_tpu.data.synthetic import make_batch
+    from audio_motion_avatar_tpu.models.audio_avatar import AudioDrivenAvatar
+    from audio_motion_avatar_tpu.models.config import AvatarConfig
+    from audio_motion_avatar_tpu.models.ptv3 import build_point_refiner
+    from audio_motion_avatar_tpu.models.renderer import build_renderer_statics
+    from audio_motion_avatar_tpu.ops import smplx as smplx_ops
+    from audio_motion_avatar_tpu.parallel.mesh import unbox
+    from audio_motion_avatar_tpu.training import stage2
+    from audio_motion_avatar_tpu.training.train_state import (
+        OptimConfig, TrainState, make_optimizer)
+    import dataclasses
+
+    cfg = dataclasses.replace(AvatarConfig(), image_size=(512, 512),
+                              compute_dtype="bfloat16")
+    smplx_model = smplx_ops.synthetic_model(seed=0)
+    statics = build_renderer_statics(smplx_model,
+                                     subdivide_steps=cfg.subdivide_steps,
+                                     densify=cfg.densify_smplx_verts)
+    nverts_enc = int(smplx_model.v_template.shape[0]) + \
+        int(np.asarray(smplx_model.faces).shape[0])
+    model = AudioDrivenAvatar(cfg=cfg, num_verts_encoder=nverts_enc,
+                              point_refiner=build_point_refiner(cfg))
+    ref = make_batch(1, cfg.triplane_input_frames, (512, 512), seed=1)
+    tgt = make_batch(1, cfg.triplane_output_frames, (512, 512), seed=2,
+                     with_audio=True, audio_dim=cfg.audio_feature_dim)
+    jx = lambda b: jax.tree_util.tree_map(jnp.asarray, b)
+    ref, tgt = jx(ref), jx(tgt)
+    variables = model.init(jax.random.PRNGKey(0), statics, ref.video,
+                           ref.smpl_parms, ref.cam_parms, tgt.audio_features,
+                           tgt.cam_parms)
+    params = unbox(variables)["params"]
+    tx = make_optimizer(OptimConfig(learning_rate=1e-4, total_steps=1000))
+    state = TrainState.create(params, tx)
+    step = stage2.make_train_step(model, statics, cfg)
+    S = 3 * cfg.triplane_resolution ** 2
+    zt = jnp.zeros((1, cfg.triplane_input_frames, cfg.triplane_feature_dim, S))
+    zs = jnp.zeros((1, cfg.triplane_input_frames, cfg.smpl_token_dim,
+                    cfg.smpl_token_len))
+    flag = jnp.zeros((1,))
+    return step, state, (ref, tgt, zt, zs, flag)
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "stage1"
+    import jax
+    print(f"[bench] backend={jax.default_backend()} devices={jax.devices()}")
+    if which == "stage1":
+        step, state, args = build_stage1()
+    else:
+        step, state, args = build_stage2()
+
+    t0 = time.time()
+    state, metrics = step(state, *args)
+    fence = float(metrics["loss"])
+    print(f"[bench] compile+first step: {time.time()-t0:.1f}s loss={fence:.4f}")
+
+    times = []
+    for _ in range(4):
+        t0 = time.time()
+        state, metrics = step(state, *args)
+        fence = float(metrics["loss"])  # host-transfer fence
+        times.append(time.time() - t0)
+    t = float(np.median(times))
+    print(f"[bench] {which} train step: {t:.3f}s/step (median of 4, "
+          f"times={['%.3f' % x for x in times]})")
+
+
+if __name__ == "__main__":
+    main()
