@@ -171,3 +171,154 @@ def test_idol_error_fallback(tmp_path):
     ds.scenes[1]["img_paths"] = ["/nonexistent.png"] * 6
     ref, test, idx = ds[1]
     assert ref.video.shape == (1, 1, 3, 32, 32)
+
+
+# ------------------- IDOL: reference-layout + video + aug -------------------
+
+def _write_mp4(path, n_frames=6, h=32, w=32):
+    import cv2
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 8, (w, h))
+    assert vw.isOpened()
+    for i in range(n_frames):
+        f = np.full((h, w, 3), 40 + 20 * i, np.uint8)
+        f[:, :4] = 255  # near-white strip -> must become pure white
+        vw.write(f[..., ::-1])
+    vw.release()
+
+
+def _ring_poses(n, radius=2.0):
+    """w2c extrinsics on a camera ring looking at the origin."""
+    poses = []
+    for i in range(n):
+        th = 2 * np.pi * i / n
+        c2w = np.eye(4, dtype=np.float32)
+        # camera at angle th, looking at origin: forward = -pos/|pos|
+        pos = np.array([radius * np.sin(th), 0.0, radius * np.cos(th)])
+        fwd = -pos / np.linalg.norm(pos)
+        right = np.cross([0.0, 1.0, 0.0], fwd)
+        up = np.cross(fwd, right)
+        c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = right, up, fwd, pos
+        poses.append(np.linalg.inv(c2w).astype(np.float32))
+    return poses
+
+
+def make_idol_ref_layout_fixture(tmp_path, n_views=8, video=False):
+    """The reference cache layout: scene -> param_path -> npy dict with
+    poses/smpl_params/image_paths/video_path (dataset_idol.py:194-205)."""
+    scenes = []
+    smpl = np.zeros(189, np.float32)
+    smpl[0] = 1.0           # scale
+    smpl[4:7] = [0, 0, 0]   # global orient: facing -z
+    poses = _ring_poses(n_views)
+    if video:
+        vid = str(tmp_path / "scene.mp4")
+        _write_mp4(vid, n_frames=n_views)
+        media = {"image_paths": None, "video_path": vid}
+    else:
+        paths = []
+        for v in range(n_views):
+            p = str(tmp_path / f"ref_v{v}.png")
+            _save_png(p, 32, 32, val=50 + 10 * v)
+            paths.append(p)
+        media = {"image_paths": paths, "video_path": None}
+    param = dict(media)
+    param["poses"] = [[p, p[:3, 3].copy()] for p in poses]
+    param["smpl_params"] = smpl
+    ppath = str(tmp_path / "scene_param.npy")
+    np.save(ppath, np.asarray(param, dtype=object), allow_pickle=True)
+    scenes.append({"param_path": ppath})
+    cache = str(tmp_path / "cache_ref_train.npy")
+    np.save(cache, np.asarray(scenes, dtype=object), allow_pickle=True)
+    return cache
+
+
+def test_idol_reference_layout_images(tmp_path):
+    from audio_motion_avatar_tpu.data.idol import AvatarDataset
+    cache = make_idol_ref_layout_fixture(tmp_path, video=False)
+    cfg = _cfg({"image_size": [32, 32], "specific_observation_num": 4,
+                "first_is_front": True, "better_range": True,
+                "cache_path_train": [cache]})
+    ds = AvatarDataset(cfg, "train")
+    ref, test, idx = ds[0]
+    assert ref.video.shape == (1, 1, 3, 32, 32)
+    # first_is_front duplicates the front view: test[0] == ref[0]
+    np.testing.assert_allclose(test.video[0, 0], ref.video[0, 0])
+    # default intrinsics (1120 focal) since the cache stores none
+    assert float(ref.cam_parms["intrinsic"][0, 0, 0, 0]) == 1120.0
+
+
+def test_idol_video_decode(tmp_path):
+    from audio_motion_avatar_tpu.data.idol import AvatarDataset
+    cache = make_idol_ref_layout_fixture(tmp_path, n_views=4, video=True)
+    cfg = _cfg({"image_size": [32, 32], "specific_observation_num": 4,
+                "first_is_front": True, "cache_path_train": [cache]})
+    ds = AvatarDataset(cfg, "train")
+    ref, test, idx = ds[0]
+    assert ref.video.shape == (1, 1, 3, 32, 32)
+    assert np.isfinite(ref.video).all() and ref.video.max() > 0
+
+    # the decoder contract + >250 -> pure-white compositing
+    # (dataset_idol.py:857-874, 769-773), tested off the lossy codec path
+    from audio_motion_avatar_tpu.data.idol import (_video_frame_white_bg,
+                                                   read_frames)
+    frames = read_frames(str(tmp_path / "scene.mp4"))
+    assert len(frames) == 4 and frames[0].shape == (32, 32, 3)
+    synth = np.full((8, 8, 3), 252, np.uint8)
+    synth[0, 0] = 10
+    out = _video_frame_white_bg(synth)
+    np.testing.assert_allclose(out[1, 1], [1, 1, 1])
+    assert out[0, 0, 0] < 0.1
+
+
+def test_idol_front_camera_detection():
+    from audio_motion_avatar_tpu.data.idol import find_front_camera_by_rotation
+    poses = [(p, None) for p in _ring_poses(8)]
+    # body facing -z (orient 0): front camera looks along +z toward it ->
+    # the camera w2c whose R @ [0,0,1] best aligns with [0,0,-1]
+    idx0 = find_front_camera_by_rotation(poses, np.zeros(3))
+    # rotate the body 180deg about y: the opposite camera wins
+    idx_pi = find_front_camera_by_rotation(poses, np.array([0, np.pi, 0]))
+    assert idx0 != idx_pi
+    assert (idx0 + 4) % 8 == idx_pi % 8
+
+
+def test_idol_crop_augmentation(tmp_path):
+    from audio_motion_avatar_tpu.data.idol import (crop_augment_ref,
+                                                   random_scale_and_crop)
+    import random as pyrandom
+    rng = pyrandom.Random(3)
+    img = np.random.rand(96, 64, 3).astype(np.float32)
+    out = crop_augment_ref(img, rng)
+    assert out.shape == img.shape
+    assert np.isfinite(out).all()
+    # downscale pads bottom-aligned with white
+    rng2 = pyrandom.Random(0)
+    sm = random_scale_and_crop(img, (0.5, 0.5), rng2)
+    assert sm.shape == img.shape
+    np.testing.assert_allclose(sm[0, 0], [1, 1, 1])  # top row is padding
+
+
+def test_idol_test_mode(tmp_path):
+    from audio_motion_avatar_tpu.data.idol import AvatarDataset
+    cache = make_idol_ref_layout_fixture(tmp_path, n_views=6, video=False)
+    cfg = _cfg({"image_size": [32, 32], "specific_observation_num": 4,
+                "first_is_front": True, "test_mode": True,
+                "cache_path_train": [cache]})
+    ds = AvatarDataset(cfg, "train")
+    ref, test, idx = ds[0]
+    # test mode: cond = front view, targets = ALL views in order
+    assert test.video.shape[1] == 6
+    assert ref.video.shape[1] == 1
+
+
+def test_idol_prepare_camera():
+    from audio_motion_avatar_tpu.data.idol import prepare_camera
+    K, poses = prepare_camera(640, 896, num_views=8)
+    assert K.shape == (3, 3) and len(poses) == 8
+    np.testing.assert_allclose(K[0, 0], 40.0 * 896 / 32.0)
+    for p in poses:
+        # look-at ring: camera at radius 1.5 aiming at the origin
+        np.testing.assert_allclose(np.linalg.norm(p[:3, 3]), 1.5, rtol=1e-5)
+        fwd = p[:3, :3] @ np.array([0, 0, 1.0])
+        to_origin = -p[:3, 3] / np.linalg.norm(p[:3, 3])
+        np.testing.assert_allclose(fwd, to_origin, atol=1e-5)
