@@ -99,6 +99,11 @@ def main(argv=None):
     from .configs import ConfigLoader
     cfg = ConfigLoader.load_config(args.config, args.overrides)
 
+    # multi-host rendezvous BEFORE any jax device use (the TPU answer to
+    # Lightning's DDP spawn, trainer_factory.py:29-46)
+    from .parallel.distributed import maybe_initialize
+    maybe_initialize(cfg)
+
     seed = int(cfg.get("seed", 42))
     np.random.seed(seed)
     setup_output_dirs(cfg)

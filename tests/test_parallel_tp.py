@@ -106,3 +106,20 @@ def test_tp_step_matches_replicated_loss():
         loss_dp = float(metrics_dp["loss"])
 
     np.testing.assert_allclose(loss_tp, loss_dp, rtol=2e-4)
+
+
+def test_maybe_initialize_noop_single_process(monkeypatch):
+    """Without multihost config/env the distributed init must be a no-op
+    (single-process runs must not try to rendezvous)."""
+    from audio_motion_avatar_tpu.parallel import distributed
+    monkeypatch.delenv("AMA_MULTIHOST", raising=False)
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    distributed._initialized = False
+    assert distributed.maybe_initialize(None) is False
+
+    class _Cfg:
+        class training:
+            @staticmethod
+            def get(k, d=None):
+                return d
+    assert distributed.maybe_initialize(_Cfg) is False
