@@ -57,6 +57,15 @@ class AudioFeatureExtractor:
             from transformers import FlaxWav2Vec2Model
             self._hf = FlaxWav2Vec2Model.from_pretrained(model_path)
         else:
+            import warnings
+            warnings.warn(
+                "AudioFeatureExtractor: no Wav2Vec2 weights at "
+                f"{model_path!r} — using the UNTRAINED conv fallback. "
+                "Features are random-projection noise; stage-2 runs "
+                "mechanically but learns nothing meaningful from audio. "
+                "Set dataset.wav2vec2_model_path to a local "
+                "facebook/wav2vec2-base-960h checkout for real features "
+                "(docs/ASSETS.md).", stacklevel=2)
             self._enc = ConvAudioEncoder(dim=dim)
             self._vars = self._enc.init(jax.random.PRNGKey(seed),
                                         jnp.zeros((1, SAMPLE_RATE)))

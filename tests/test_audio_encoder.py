@@ -48,3 +48,14 @@ def test_lpips_smoke():
     assert float(lp(a, a)) < 1e-6
     assert float(lp(a, b)) > 1e-4
     assert not lp.pretrained  # no weights in this image
+
+
+def test_untrained_fallback_warns_loudly():
+    """No Wav2Vec2 asset -> the extractor must WARN that features are noise
+    (round-1 verdict: the silent fallback poisoned stage-2 semantics)."""
+    import warnings
+    from audio_motion_avatar_tpu.models.audio_encoder import AudioFeatureExtractor
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        AudioFeatureExtractor(model_path=None, dim=16)
+    assert any("UNTRAINED" in str(x.message) for x in w)
