@@ -101,7 +101,8 @@ def main(argv=None):
 
     # multi-host rendezvous BEFORE any jax device use (the TPU answer to
     # Lightning's DDP spawn, trainer_factory.py:29-46)
-    from .parallel.distributed import maybe_initialize
+    from .parallel.distributed import maybe_initialize, apply_platform_env
+    apply_platform_env()
     maybe_initialize(cfg)
 
     seed = int(cfg.get("seed", 42))

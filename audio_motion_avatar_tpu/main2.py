@@ -73,24 +73,62 @@ def init_state2(model, statics, cfg, ac, seed=0):
     return TrainState.create(params, tx)
 
 
+def _stack_batches(a, b):
+    """Concatenate two (B=1, ...) VideoBatch pytrees into one B=2 batch."""
+    import jax
+    import numpy as np
+
+    def cat(x, y):
+        return np.concatenate([np.asarray(x), np.asarray(y)], axis=0)
+
+    return jax.tree_util.tree_map(cat, a, b)
+
+
 def run_demo(cfg, model, statics, ac, state, audio_path, output_path):
-    """Autoregressive demo rollout on synthetic (or real) inputs."""
+    """Two-stream interleaved demo (reference main2.py:142-388).
+
+    Structure parity with the reference demo: stream A consumes dataset
+    items i%12==0 (the even video frames, each item a stride-2 window),
+    stream B items i%12==1 (odd frames); each stream's token state slides
+    by the last T_in predicted frames per chunk (:202-203); per-batch eval
+    L1 + SMPLX losses are printed (:206-211); SMPLX mesh overlays are drawn
+    on every output frame (:213-220); the streams' frames are interleaved
+    (:322-331) into original_sequence.mp4 + smplx_sequence.mp4 with an
+    ffmpeg audio mux (:335-384).
+
+    TPU delta: the reference runs the streams as two serial loops; here
+    they are BATCHED (B=2) through ONE compiled rollout per chunk — same
+    math, half the dispatches, double MXU occupancy.
+    """
     import jax
     import jax.numpy as jnp
-    from .data.synthetic import make_batch
-    from .models.audio_encoder import AudioFeatureExtractor, resample_linear, SAMPLE_RATE
+    from .data.factory import DatasetFactory
+    from .ops import smplx as smplx_ops
+    from .utils import losses as L
+    from .utils.graphics import draw_smplx_on_image
     from .utils.video import write_mp4, write_frames
 
     H, W = ac.image_size
     T_in = ac.triplane_input_frames
     T_out = ac.triplane_output_frames
     fps = int(cfg.dataset.get("frame_rate", 24))
+    out_dir = os.path.join(cfg.training.output_dir, "demo_outputs")
+    os.makedirs(out_dir, exist_ok=True)
 
-    # --- audio features ---
-    extractor = AudioFeatureExtractor(
-        model_path=cfg.dataset.get("wav2vec2_model_path"),
-        dim=ac.audio_feature_dim)
+    dataset = DatasetFactory.create_dataset(cfg, split="val")
+    # reference batch index selection (main2.py:157-158, :242-243)
+    idx_a = [i for i in range(0, min(320, len(dataset))) if i % 12 == 0]
+    idx_b = [i for i in range(0, min(320, len(dataset))) if i % 12 == 1]
+    n_chunks = min(len(idx_a), len(idx_b))
+    if n_chunks == 0:
+        raise ValueError("dataset too small for the two-stream demo")
+
+    # Optional wav: overrides dataset audio features (stream A gets even
+    # video-frame features, stream B odd — the streams' frame phases).
+    wav_feats = None
     if audio_path and os.path.exists(audio_path):
+        from .models.audio_encoder import (AudioFeatureExtractor,
+                                           resample_linear, SAMPLE_RATE)
         import wave
         with wave.open(audio_path, "rb") as wf:
             sr = wf.getframerate()
@@ -98,20 +136,19 @@ def run_demo(cfg, model, statics, ac, state, audio_path, output_path):
             if wf.getnchannels() > 1:
                 raw = raw.reshape(-1, wf.getnchannels()).mean(-1)
             wav = resample_linear(raw.astype(np.float32) / 32768.0, sr)
-    else:
-        t = np.arange(2 * SAMPLE_RATE) / SAMPLE_RATE
-        wav = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
-    num_frames = int(len(wav) / SAMPLE_RATE * fps)
-    num_frames = max(T_out, (num_frames // T_out) * T_out)
-    audio_feats = extractor.features_per_video_frame(wav, num_frames, fps)
+        extractor = AudioFeatureExtractor(
+            model_path=cfg.dataset.get("wav2vec2_model_path"),
+            dim=ac.audio_feature_dim)
+        total = 2 * n_chunks * T_out
+        wav_feats = extractor.features_per_video_frame(wav, total, fps)
 
-    # --- init token state from a stage-1 pass on reference frames ---
-    ref = make_batch(1, T_in, (H, W), seed=0,
-                     num_expr=ac.num_expression_coeffs)
     jx = lambda b: jax.tree_util.tree_map(jnp.asarray, b)
-    ref = jx(ref)
 
-    # encode via the stage-1 submodule directly
+    # ---- init token state: both streams' first ref batches, one B=2 pass ----
+    ref_a, _, _ = dataset[idx_a[0]]
+    ref_b, _, _ = dataset[idx_b[0]]
+    ref = jx(_stack_batches(ref_a, ref_b))
+
     @jax.jit
     def stage1_tokens(params, video, smpl, cam):
         out = model.apply(
@@ -123,47 +160,88 @@ def run_demo(cfg, model, statics, ac, state, audio_path, output_path):
     triplanes, smpl_tokens = stage1_tokens(state.params, ref.video,
                                            ref.smpl_parms, ref.cam_parms)
 
-    # --- rollout chunks ---
-    from .data.synthetic import orbit_camera
-    K, E = orbit_camera(0.0, image_size=(H, W), focal=max(H, W) * 1.2)
-    cam_chunk = {
-        "intrinsic": jnp.tile(jnp.asarray(K)[None, None], (1, T_out, 1, 1)),
-        "extrinsic": jnp.tile(jnp.asarray(E)[None, None], (1, T_out, 1, 1)),
-    }
-
     @jax.jit
-    def rollout(params, triplanes, smpl_tokens, audio_chunk):
-        def m(mdl, tri, smpl, audio):
+    def rollout(params, triplanes, smpl_tokens, audio_chunk, cam_chunk):
+        def m(mdl, tri, smpl, audio, cam):
             out_tri, out_smpl = mdl.audio_triplane(audio, tri, smpl)
             B, T = out_smpl.shape[:2]
             flat = out_smpl.reshape((B * T,) + out_smpl.shape[2:])
             from .models.triplane_encoder import reshape_params
-            pred = reshape_params(mdl.triplane_gaussian.encoder.smpl_decoder(flat),
-                                  (B, T))
+            pred = reshape_params(
+                mdl.triplane_gaussian.encoder.smpl_decoder(flat), (B, T))
             rendered, _ = mdl.triplane_gaussian.renderer(statics, out_tri,
-                                                         cam_chunk, pred)
-            return rendered, out_tri, out_smpl
+                                                         cam, pred)
+            return rendered, out_tri, out_smpl, pred
 
         return model.apply({"params": params}, triplanes, smpl_tokens,
-                           audio_chunk, method=m)
+                           audio_chunk, cam_chunk, method=m)
 
-    frames = []
-    n_chunks = num_frames // T_out
+    faces = np.asarray(statics.smplx_model.faces)
+    even_seq, odd_seq = [], []
+    even_smplx, odd_smplx = [], []
     for c in range(n_chunks):
-        chunk = jnp.asarray(audio_feats[None, c * T_out:(c + 1) * T_out])
-        rendered, out_tri, out_smpl = rollout(state.params, triplanes,
-                                              smpl_tokens, chunk)
-        # slide the window: last T_in predicted frames become the next state
+        _, tgt_a, _ = dataset[idx_a[c]]
+        _, tgt_b, _ = dataset[idx_b[c]]
+        tgt = jx(_stack_batches(tgt_a, tgt_b))
+        if wav_feats is not None:
+            base = 2 * c * T_out
+            fa = wav_feats[base:base + 2 * T_out:2]       # even frames
+            fb = wav_feats[base + 1:base + 2 * T_out:2]   # odd frames
+            audio = jnp.asarray(np.stack([fa, fb]))
+        else:
+            audio = tgt.audio_features
+        rendered, out_tri, out_smpl, pred = rollout(
+            state.params, triplanes, smpl_tokens, audio, tgt.cam_parms)
+        # sliding token window (main2.py:202-203)
         triplanes = out_tri[:, -T_in:]
         smpl_tokens = out_smpl[:, -T_in:]
-        frames.extend(np.asarray(rendered[0]))
+
+        # per-batch eval losses (main2.py:206-211)
+        gt = jnp.transpose(tgt.video, (0, 1, 3, 4, 2))
+        for b, name in ((0, "even"), (1, "odd")):
+            l1 = float(L.l1_loss(rendered[b], gt[b]))
+            parms_b = jax.tree_util.tree_map(lambda v: v[b:b + 1],
+                                             tgt.smpl_parms)
+            pred_b = jax.tree_util.tree_map(lambda v: v[b:b + 1], pred)
+            sl = float(L.smplx_param_loss(pred_b, parms_b)[0])
+            print(f"[demo] chunk {c} {name}: L1={l1:.6f} SMPLX={sl:.6f}")
+
+        # SMPLX mesh overlay on the rendered frames (main2.py:213-220)
+        flat_pred = jax.tree_util.tree_map(
+            lambda v: v.reshape((-1,) + v.shape[2:]), pred)
+        verts = np.asarray(smplx_ops.forward(
+            statics.smplx_model, flat_pred,
+            flat_hand_mean=ac.flat_hand_mean)).reshape(2, T_out, -1, 3)
+        transl = np.asarray(pred["transl"]).reshape(2, T_out, 3)
+        Ks = np.asarray(tgt.cam_parms["intrinsic"])
+        Es = np.asarray(tgt.cam_parms["extrinsic"])
+        rendered_np = np.asarray(rendered)
+        for t in range(T_out):
+            for b, (seq, sseq) in ((0, (even_seq, even_smplx)),
+                                   (1, (odd_seq, odd_smplx))):
+                frame = rendered_np[b, t]
+                seq.append(frame)
+                sseq.append(draw_smplx_on_image(
+                    frame, verts[b, t], faces, Ks[b, t], Es[b, t],
+                    transl=transl[b, t]))
         print(f"[demo] chunk {c + 1}/{n_chunks}")
 
-    out = output_path or os.path.join(cfg.training.output_dir, "demo.mp4")
-    write_frames(frames, os.path.join(cfg.training.output_dir, "demo_frames"))
-    write_mp4(frames, out, fps=fps,
-              audio_path=audio_path if audio_path and os.path.exists(audio_path) else None)
-    print(f"[demo] wrote {len(frames)} frames -> {out}")
+    # interleave the streams (main2.py:322-331)
+    combined, combined_smplx = [], []
+    for i in range(len(even_seq)):
+        combined.append(even_seq[i])
+        combined_smplx.append(even_smplx[i])
+        if i < len(odd_seq):
+            combined.append(odd_seq[i])
+            combined_smplx.append(odd_smplx[i])
+
+    mux = audio_path if audio_path and os.path.exists(audio_path) else None
+    out = output_path or os.path.join(out_dir, "original_sequence.mp4")
+    write_frames(combined, os.path.join(out_dir, "frames"))
+    write_mp4(combined, out, fps=fps, audio_path=mux)
+    write_mp4(combined_smplx, os.path.join(out_dir, "smplx_sequence.mp4"),
+              fps=fps, audio_path=mux)
+    print(f"[demo] wrote {len(combined)} frames -> {out} (+smplx_sequence)")
     return out
 
 
@@ -171,6 +249,13 @@ def main(argv=None):
     args = parse_args(argv)
     from .configs import ConfigLoader
     cfg = ConfigLoader.load_config(args.config, args.overrides)
+
+    # multi-host rendezvous BEFORE any jax device use (the TPU answer to
+    # Lightning's DDP spawn, trainer_factory.py:29-46)
+    from .parallel.distributed import maybe_initialize, apply_platform_env
+    apply_platform_env()
+    maybe_initialize(cfg)
+
     np.random.seed(int(cfg.get("seed", 42)))
     os.makedirs(cfg.training.output_dir, exist_ok=True)
 

@@ -25,6 +25,17 @@ import os
 _initialized = False
 
 
+def apply_platform_env() -> None:
+    """Honor AMA_PLATFORM=cpu|tpu from the CLIs. This image's sitecustomize
+    imports jax (registering the TPU plugin) before user code runs, so the
+    JAX_PLATFORMS env var alone is too late; jax.config.update still works
+    until the first backend initialization."""
+    plat = os.environ.get("AMA_PLATFORM")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
+
+
 def maybe_initialize(cfg=None) -> bool:
     """Initialize the JAX distributed runtime if this looks like a
     multi-process run. Returns True iff initialize() was called (idempotent:
