@@ -42,12 +42,22 @@ from ..ops import serialization as ser
 POOL_WINDOW = 4
 
 
+def invert_perm(perm: jnp.ndarray) -> jnp.ndarray:
+    """Permutation inverse as an O(N) scatter — NOT a second argsort.
+    (argsort is a bitonic network on TPU; at the refiner's 30k points the
+    redundant inversion sorts were a measurable slice of serving time.)"""
+    n = perm.shape[0]
+    return jnp.zeros((n,), perm.dtype).at[perm].set(
+        jnp.arange(n, dtype=perm.dtype))
+
+
 class SerialBlock(nn.Module):
     """xCPE (depthwise serial conv) + patch attention + MLP, pre-LN."""
 
     dim: int
     heads: int
     patch_size: int
+    dtype: Optional[jnp.dtype] = None  # matmul compute dtype (params fp32)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -55,24 +65,25 @@ class SerialBlock(nn.Module):
         N, C = x.shape
         # xCPE: depthwise conv window 3 along the curve (replaces spconv CPE).
         h = nn.Conv(self.dim, kernel_size=(3,), feature_group_count=self.dim,
-                    name="cpe")(x[None])[0]
+                    dtype=self.dtype, name="cpe")(x[None])[0]
         x = x + h * mask[:, None]
 
         # Patch attention.
         p = min(self.patch_size, N)
         g = N // p
-        h = nn.LayerNorm(name="ln1")(x)
+        h = nn.LayerNorm(name="ln1", dtype=self.dtype)(x)
         hq = h.reshape(g, p, C)
         attn_mask = mask.reshape(g, 1, 1, p)  # (G, 1, 1, P_keys), True=attend
         attn_mask = jnp.broadcast_to(attn_mask, (g, 1, p, p))
         attn = nn.MultiHeadDotProductAttention(
-            num_heads=self.heads, name="attn")(hq, hq, mask=attn_mask)
+            num_heads=self.heads, dtype=self.dtype,
+            name="attn")(hq, hq, mask=attn_mask)
         x = x + attn.reshape(N, C) * mask[:, None]
 
-        h = nn.LayerNorm(name="ln2")(x)
-        h = nn.Dense(self.dim * 4, name="mlp1")(h)
+        h = nn.LayerNorm(name="ln2", dtype=self.dtype)(x)
+        h = nn.Dense(self.dim * 4, dtype=self.dtype, name="mlp1")(h)
         h = nn.gelu(h)
-        h = nn.Dense(self.dim, name="mlp2")(h)
+        h = nn.Dense(self.dim, dtype=self.dtype, name="mlp2")(h)
         return x + h * mask[:, None]
 
 
@@ -89,6 +100,7 @@ class PTv3Encoder(nn.Module):
     dec_heads: Tuple[int, ...] = (4, 4, 8, 16)
     patch_size: int = 512
     grid_resolution: float = 100.0
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, points: jnp.ndarray, feats: jnp.ndarray) -> jnp.ndarray:
@@ -111,19 +123,25 @@ class PTv3Encoder(nn.Module):
             code = ser.encode(grid, o)
             code = jnp.where(mask, code, jnp.int32(2 ** 30))  # padding last
             perm = jnp.argsort(code)
-            orders[o] = (perm, jnp.argsort(perm))
+            orders[o] = (perm, invert_perm(perm))
 
-        x = nn.Dense(self.enc_channels[0], name="embed")(x)
+        x = nn.Dense(self.enc_channels[0], dtype=self.dtype, name="embed")(x)
 
         def run_blocks(x, mask, stage, depths, heads, dim, prefix):
             for b in range(depths):
                 o = ser.ORDERS[b % len(ser.ORDERS)]
                 perm, inv = stage_orders[o]
-                xs = x[perm]
-                ms = mask[perm]
-                xs = SerialBlock(dim, heads, self.patch_size,
-                                 name=f"{prefix}_b{b}")(xs, ms)
-                x = xs[inv]
+                if perm is None:  # identity order (pooled z-curve stages)
+                    x = SerialBlock(dim, heads, self.patch_size,
+                                    dtype=self.dtype,
+                                    name=f"{prefix}_b{b}")(x, mask)
+                else:
+                    xs = x[perm]
+                    ms = mask[perm]
+                    xs = SerialBlock(dim, heads, self.patch_size,
+                                     dtype=self.dtype,
+                                     name=f"{prefix}_b{b}")(xs, ms)
+                    x = xs[inv]
             return x
 
         # ---- encoder ----
@@ -135,11 +153,12 @@ class PTv3Encoder(nn.Module):
             if s > 0:
                 # fixed-window pooling on the z-order curve
                 perm, _ = stage_orders["z"]
-                xs = x[perm]
-                ps = cur_pts[perm]
-                ms = cur_mask[perm]
+                if perm is None:  # storage already z-ordered
+                    xs, ps, ms = x, cur_pts, cur_mask
+                else:
+                    xs, ps, ms = x[perm], cur_pts[perm], cur_mask[perm]
                 n2 = xs.shape[0] // POOL_WINDOW
-                xs = nn.Dense(dim, name=f"pool{s}_proj")(xs)
+                xs = nn.Dense(dim, dtype=self.dtype, name=f"pool{s}_proj")(xs)
                 xw = xs.reshape(n2, POOL_WINDOW, dim)
                 mw = ms.reshape(n2, POOL_WINDOW)
                 xs = jnp.max(jnp.where(mw[..., None], xw, -jnp.inf), axis=1)
@@ -149,7 +168,7 @@ class PTv3Encoder(nn.Module):
                 cur_pts = (pw * mw[..., None]).sum(1) / cnt
                 cur_mask = mw.any(-1)
                 x = xs
-                # re-pad to a multiple of patch_size, recompute orders
+                # re-pad to a multiple of patch_size
                 n_next = x.shape[0]
                 n_tgt = int(np.ceil(n_next / self.patch_size) * self.patch_size) \
                     if n_next > self.patch_size else n_next
@@ -158,13 +177,20 @@ class PTv3Encoder(nn.Module):
                     x = jnp.pad(x, ((0, extra), (0, 0)))
                     cur_pts = jnp.pad(cur_pts, ((0, extra), (0, 0)))
                     cur_mask = jnp.pad(cur_mask, (0, extra))
+                # Pooled storage is ALREADY z-curve-ordered: 4-windows of a
+                # z-sorted sequence pool to centroids whose curve prefixes
+                # stay sorted (PTv3's own code>>bits pooling relies on the
+                # same prefix property, pointtransformer_v3.py:653-672) —
+                # the z order is the identity, no 30k-point argsort.
+                stage_orders = {"z": (None, None)}
                 grid = ser.grid_coords(cur_pts, self.grid_resolution)
-                stage_orders = {}
                 for o in ser.ORDERS:
+                    if o == "z":
+                        continue
                     code = ser.encode(grid, o)
                     code = jnp.where(cur_mask, code, jnp.int32(2 ** 30))
-                    perm = jnp.argsort(code)
-                    stage_orders[o] = (perm, jnp.argsort(perm))
+                    p = jnp.argsort(code)
+                    stage_orders[o] = (p, invert_perm(p))
             x = run_blocks(x, cur_mask, s, self.enc_depths[s],
                            self.enc_heads[s], dim, f"enc{s}")
             skips.append((x, cur_pts, cur_mask, stage_orders))
@@ -175,23 +201,23 @@ class PTv3Encoder(nn.Module):
             dim = self.dec_channels[d] if d < len(self.dec_channels) else skip_x.shape[-1]
             # unpool: broadcast each parent back to its 4-window children on
             # the z-curve of the PARENT stage construction
-            parent_n = x.shape[0]
-            child_sorted_n = skip_orders["z"][0].shape[0]
+            child_sorted_n = skip_x.shape[0]
             # children were pooled from the first parent_kept = child_n//4 groups
             up = jnp.repeat(x, POOL_WINDOW, axis=0)[: child_sorted_n]
-            # undo the child-stage z sort
+            # undo the child-stage z sort (identity for pooled stages)
             _, child_inv = skip_orders["z"]
-            up = up[child_inv]
-            x = nn.Dense(dim, name=f"dec{d}_proj_up")(up) + \
-                nn.Dense(dim, name=f"dec{d}_proj_skip")(skip_x)
+            if child_inv is not None:
+                up = up[child_inv]
+            x = nn.Dense(dim, dtype=self.dtype, name=f"dec{d}_proj_up")(up) + \
+                nn.Dense(dim, dtype=self.dtype, name=f"dec{d}_proj_skip")(skip_x)
             stage_orders = skip_orders
             x = run_blocks(x, skip_mask, d,
                            self.dec_depths[d] if d < len(self.dec_depths) else 1,
                            self.dec_heads[d] if d < len(self.dec_heads) else 4,
                            dim, f"dec{d}")
 
-        x = nn.Dense(self.out_dim, name="head")(x)
-        return x[:N]
+        x = nn.Dense(self.out_dim, dtype=self.dtype, name="head")(x)
+        return x[:N].astype(jnp.float32)
 
 
 class PointRefiner(nn.Module):
@@ -208,6 +234,7 @@ class PointRefiner(nn.Module):
     dec_heads: Tuple[int, ...] = (4, 4, 8, 16)
     patch_size: int = 512
     grid_resolution: float = 100.0
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, points: jnp.ndarray, feats: jnp.ndarray) -> jnp.ndarray:
@@ -223,6 +250,7 @@ class PointRefiner(nn.Module):
             enc_heads=self.enc_heads, dec_channels=self.dec_channels,
             dec_depths=self.dec_depths, dec_heads=self.dec_heads,
             patch_size=self.patch_size, grid_resolution=self.grid_resolution,
+            dtype=self.dtype,
             name="unet")(points, feats)
 
 
@@ -238,4 +266,6 @@ def build_point_refiner(cfg) -> PointRefiner:
         dec_heads=tuple(cfg.ptv3_dec_heads),
         patch_size=cfg.ptv3_patch_size,
         grid_resolution=float(cfg.ptv3_grid_resolution),
+        dtype=(jnp.bfloat16 if getattr(cfg, "compute_dtype", None) ==
+               "bfloat16" else None),
     )

@@ -180,17 +180,29 @@ class Renderer(nn.Module):
             mode = self.splat_mode
             if mode == "pallas" and jax.default_backend() != "tpu":
                 mode = "tiles"  # Mosaic kernels only lower on TPU
-            imgs = []
-            for f in range(F):  # static unroll; pallas_call is not vmappable
-                imgs.append(splat.render_one(
-                    gaussians["xyz"][f], gaussians["rot"][f],
-                    gaussians["scale"][f], gaussians["opacity"][f, :, 0],
-                    gaussians["color"][f],
-                    K[f], E[f], self.image_width, self.image_height,
+            sh_deg = None if self.rgb else self.sh_degree
+            if mode == "pallas":
+                # batched projection+binning (ONE pair sort across F frames),
+                # per-frame Pallas composites (pallas_call is not vmappable)
+                from ..ops.splat_pallas import render_frames_pallas
+                img = render_frames_pallas(
+                    gaussians["xyz"], gaussians["rot"], gaussians["scale"],
+                    gaussians["opacity"][..., 0], gaussians["color"],
+                    K, E, self.image_width, self.image_height,
                     max_per_tile=self.max_per_tile,
-                    mode=mode, max_window=self.splat_max_window,
-                    sh_degree=None if self.rgb else self.sh_degree))
-            img = jnp.stack(imgs)
+                    max_window=self.splat_max_window, sh_degree=sh_deg)
+            else:
+                imgs = []
+                for f in range(F):
+                    imgs.append(splat.render_one(
+                        gaussians["xyz"][f], gaussians["rot"][f],
+                        gaussians["scale"][f], gaussians["opacity"][f, :, 0],
+                        gaussians["color"][f],
+                        K[f], E[f], self.image_width, self.image_height,
+                        max_per_tile=self.max_per_tile,
+                        mode=mode, max_window=self.splat_max_window,
+                        sh_degree=sh_deg))
+                img = jnp.stack(imgs)
         else:
             img = jnp.zeros((F, self.image_height, self.image_width, 3))
         return gaussians, img

@@ -73,9 +73,27 @@ class Attention(nn.Module):
                  mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         inner = self.heads * self.head_dim
         kv_src = x if context is None else context
-        q = _dense(inner, ("embed", "heads"), use_bias=False, name="q", dtype=self.dtype)(x)
-        k = _dense(inner, ("embed", "heads"), use_bias=False, name="k", dtype=self.dtype)(kv_src)
+        q_layer = _dense(inner, ("embed", "heads"), use_bias=False, name="q",
+                         dtype=self.dtype)
+        k_layer = _dense(inner, ("embed", "heads"), use_bias=False, name="k",
+                         dtype=self.dtype)
         v = _dense(inner, ("embed", "heads"), use_bias=False, name="v", dtype=self.dtype)(kv_src)
+
+        if kv_src.shape[1] == 1 and mask is None:
+            # EXACT single-key shortcut (the audio rollout cross-attends to
+            # ONE audio token per AR step): softmax over one key is
+            # identically 1, so attention output == that key's value for
+            # every query — q/k/logits fold away mathematically. The q/k
+            # params are still registered (zero-cost dummy applications) so
+            # checkpoints/imports keep their full layout.
+            _ = q_layer(x[:, :1])
+            _ = k_layer(kv_src[:, :1])
+            out = jnp.broadcast_to(v, (x.shape[0], x.shape[1], inner))
+            return _dense(self.out_dim, ("heads", "embed"), name="out",
+                          dtype=self.dtype)(out)
+
+        q = q_layer(x)
+        k = k_layer(kv_src)
 
         B, S, _ = q.shape
         T = k.shape[1]

@@ -272,17 +272,13 @@ def _ct_bwd(tx, res, g):
 composite_tiles.defvjp(_ct_fwd, _ct_bwd)
 
 
-def render_tiles_pallas(proj: splat.Projected, width: int, height: int,
-                        max_per_tile: int = 512, interpret: bool = False,
-                        binner: str = "sorted", max_window: int = 8) -> jnp.ndarray:
-    """Full tile renderer with the Pallas compositing kernel.
+def _pack_tile_params(proj: splat.Projected, width: int, height: int,
+                      max_per_tile: int, max_window: int,
+                      binner: str = "sorted") -> jnp.ndarray:
+    """Binning + per-tile param packing: Projected -> (T, 9, K).
 
-    Semantics identical to splat.render_tiles with bg=(1,1,1).
-    """
-    assert width % TILE == 0 and height % TILE == 0
-    tx = width // TILE
-    ty = height // TILE
-
+    Pure jnp (vmappable) — the expensive part is the pair sort inside the
+    binner, which batches efficiently across frames."""
     if binner == "sorted":
         order, tile_idx, tile_mask = splat.bin_gaussians_sorted(
             proj, width, height, max_per_tile, max_window=max_window)
@@ -303,18 +299,83 @@ def render_tiles_pallas(proj: splat.Projected, width: int, height: int,
     tile_params = jnp.take(packed, tile_idx, axis=1)         # (9, T, K)
     tile_params = jnp.swapaxes(tile_params, 0, 1)            # (T, 9, K)
     # zero opacity for padding slots
-    tile_params = tile_params.at[:, 5, :].multiply(tile_mask.astype(tile_params.dtype))
+    return tile_params.at[:, 5, :].multiply(tile_mask.astype(tile_params.dtype))
 
+
+def _tile_origins(tx: int, ty: int) -> jnp.ndarray:
     tids = jnp.arange(tx * ty)
-    tile_origin = jnp.stack(
+    return jnp.stack(
         [(tids % tx * TILE).astype(jnp.float32), (tids // tx * TILE).astype(jnp.float32)],
         axis=-1,
     )
 
-    if interpret:
-        tiles = _composite_tiles_xla(tile_params, tile_origin)
-    else:
-        tiles = composite_tiles(tile_params, tile_origin, tx)
 
+def _tiles_to_image(tiles: jnp.ndarray, tx: int, ty: int,
+                    width: int, height: int) -> jnp.ndarray:
     img = tiles.reshape(ty, tx, TILE, TILE, 3).transpose(0, 2, 1, 3, 4)
     return img.reshape(height, width, 3)
+
+
+def render_tiles_pallas(proj: splat.Projected, width: int, height: int,
+                        max_per_tile: int = 512, interpret: bool = False,
+                        binner: str = "sorted", max_window: int = 8) -> jnp.ndarray:
+    """Full tile renderer with the Pallas compositing kernel.
+
+    Semantics identical to splat.render_tiles with bg=(1,1,1).
+    """
+    assert width % TILE == 0 and height % TILE == 0
+    tx = width // TILE
+    ty = height // TILE
+    tile_params = _pack_tile_params(proj, width, height, max_per_tile,
+                                    max_window, binner)
+    if interpret:
+        tiles = _composite_tiles_xla(tile_params, _tile_origins(tx, ty))
+    else:
+        tiles = composite_tiles(tile_params, _tile_origins(tx, ty), tx)
+    return _tiles_to_image(tiles, tx, ty, width, height)
+
+
+def render_frames_pallas(xyz: jnp.ndarray, rot: jnp.ndarray,
+                         raw_scales: jnp.ndarray, raw_opacity: jnp.ndarray,
+                         colors: jnp.ndarray, K: jnp.ndarray, E: jnp.ndarray,
+                         width: int, height: int, max_per_tile: int = 512,
+                         max_window: int = 8, sh_degree=None,
+                         interpret: bool = False) -> jnp.ndarray:
+    """Batched multi-frame fast path: (F, N, ...) gaussians + (F, ...) cams
+    -> (F, H, W, 3).
+
+    Same semantics as F calls to splat.render_one(mode='pallas'), but
+    projection + tile binning run ONCE under vmap — the binner's ~N*W^2-key
+    pair sort (the dominant non-MXU cost of the splat at 30k gaussians) is
+    a single batched sort instead of F serial sorts. Only the Pallas
+    composite (not vmappable) unrolls per frame.
+    """
+    from .splat import (activate_scales, activate_opacity, make_camera,
+                        project_gaussians, sh_colors)
+    assert width % TILE == 0 and height % TILE == 0
+    tx = width // TILE
+    ty = height // TILE
+
+    def prep(x, r, s, o, c, k, e):
+        cam = make_camera(k, e, width, height)
+        if sh_degree is not None:
+            rgb = sh_colors(c, x, cam.center, sh_degree)
+        else:
+            rgb = jnp.clip(c, 0.0, 1.0)
+        o1 = o.squeeze(-1) if o.ndim == 2 else o
+        proj = project_gaussians(x, r, activate_scales(s),
+                                 activate_opacity(o1), rgb, cam)
+        return _pack_tile_params(proj, width, height, max_per_tile,
+                                 max_window)
+
+    tile_params = jax.vmap(prep)(xyz, rot, raw_scales, raw_opacity, colors,
+                                 K, E)  # (F, T, 9, K)
+    origins = _tile_origins(tx, ty)
+    imgs = []
+    for f in range(tile_params.shape[0]):
+        if interpret:
+            tiles = _composite_tiles_xla(tile_params[f], origins)
+        else:
+            tiles = composite_tiles(tile_params[f], origins, tx)
+        imgs.append(_tiles_to_image(tiles, tx, ty, width, height))
+    return jnp.stack(imgs)

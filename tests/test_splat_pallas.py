@@ -132,3 +132,38 @@ def test_full_grad_path_through_pallas_vjp():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5, err_msg=name)
         assert np.abs(np.asarray(a)).max() > 0, name
+
+
+def test_render_frames_pallas_matches_render_one():
+    """The batched-frames path (vmapped binning + per-frame composite) must
+    equal F independent render_one calls (interpret mode -> XLA twin)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from audio_motion_avatar_tpu.ops import splat, splat_pallas
+
+    rng = np.random.RandomState(5)
+    F, N, W, H = 3, 60, 64, 64
+    xyz = jnp.asarray((rng.randn(F, N, 3) * 0.4).astype(np.float32))
+    rot = rng.randn(F, N, 4).astype(np.float32)
+    rot[..., 0] += 3.0
+    rot = jnp.asarray(rot)
+    s = jnp.asarray(rng.randn(F, N, 3).astype(np.float32) * 0.3)
+    o = jnp.asarray(rng.randn(F, N).astype(np.float32))
+    c = jnp.asarray(rng.rand(F, N, 3).astype(np.float32))
+    Ks, Es = [], []
+    for f in range(F):
+        Ks.append([[80.0, 0, 32.0], [0, 80.0, 32.0], [0, 0, 1.0]])
+        E = np.eye(4, dtype=np.float32)
+        E[2, 3] = 2.0 + 0.2 * f
+        Es.append(E)
+    K = jnp.asarray(np.asarray(Ks, np.float32))
+    E = jnp.asarray(np.stack(Es))
+
+    batched = np.asarray(splat_pallas.render_frames_pallas(
+        xyz, rot, s, o, c, K, E, W, H, max_per_tile=64, max_window=4,
+        interpret=True))
+    for f in range(F):
+        one = np.asarray(splat.render_one(
+            xyz[f], rot[f], s[f], o[f], c[f], K[f], E[f], W, H,
+            max_per_tile=64, mode="tiles", max_window=4))
+        np.testing.assert_allclose(batched[f], one, atol=2e-5)

@@ -70,3 +70,38 @@ def test_geglu():
     assert v["params"]["wi"]["kernel"].value.shape == (16, 128) \
         if hasattr(v["params"]["wi"]["kernel"], "value") else \
         v["params"]["wi"]["kernel"].shape == (16, 128)
+
+
+def test_cross_attention_single_token_shortcut_exact():
+    """Context length 1: the shortcut (broadcast v) must equal the general
+    softmax path bit-for-bit in math (softmax over one key == 1)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from audio_motion_avatar_tpu.models.transformer import Attention
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 7, 16).astype(np.float32))
+    ctx = jnp.asarray(rng.randn(2, 1, 12).astype(np.float32))
+    from audio_motion_avatar_tpu.parallel.mesh import unbox
+    attn = Attention(heads=2, head_dim=8, out_dim=16, context_dim=12)
+    v = unbox(attn.init(jax.random.PRNGKey(0), x, ctx))
+    out = attn.apply(v, x, ctx)
+
+    # general formula from the same params
+    p = v["params"]
+    q = x @ p["q"]["kernel"]
+    k = ctx @ p["k"]["kernel"]
+    vv = ctx @ p["v"]["kernel"]
+    B, S, _ = q.shape
+    qh = q.reshape(B, S, 2, 8)
+    kh = k.reshape(B, 1, 2, 8)
+    vh = vv.reshape(B, 1, 2, 8)
+    logits = jnp.einsum("bshd,bthd->bhst", qh, kh) * (8 ** -0.5)
+    probs = jax.nn.softmax(logits, axis=-1)
+    ref = jnp.einsum("bhst,bthd->bshd", probs, vh).reshape(B, S, 16)
+    ref = ref @ p["out"]["kernel"] + p["out"]["bias"]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    # params must keep the full q/k/v/out layout for checkpoint compat
+    assert set(p.keys()) == {"q", "k", "v", "out"}
