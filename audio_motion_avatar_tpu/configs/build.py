@@ -48,6 +48,8 @@ def build_avatar_config(cfg: Config) -> AvatarConfig:
         rgb=rd.get("rgb", True),
         sh_degree=rd.get("sh_degree", 0),
         max_per_tile=rd.get("max_per_tile", 512),
+        upsampler_sparse=rd.get("upsampler_sparse", False),
+        upsampler_sparse_max_tiles=rd.get("upsampler_sparse_max_tiles", 384),
         image_feature_dim=se.image_feature_dim,
         vit_depth=se.get("vit_depth", 40),
         vit_heads=se.get("vit_heads", 24),

@@ -97,6 +97,8 @@ class TriplaneGaussianAvatar(nn.Module):
             frames_per_chunk=c.frames_per_chunk,
             rgb=c.rgb,
             sh_degree=c.sh_degree,
+            upsampler_sparse=c.upsampler_sparse,
+            upsampler_sparse_max_tiles=c.upsampler_sparse_max_tiles,
             name="renderer")
 
     def __call__(self, statics: RendererStatics, images: jnp.ndarray,

@@ -40,6 +40,10 @@ class AvatarConfig:
     rgb: bool = True
     sh_degree: int = 0  # SH degree for the rgb=False view-dependent branch
     max_per_tile: int = 512
+    # sparse-tile final upsample level (TPU redesign, see models/upsampler):
+    # evaluate the 512^2 conv level only on body-covered 16px tiles
+    upsampler_sparse: bool = False
+    upsampler_sparse_max_tiles: int = 384
     # sapiens_encoder.yaml
     image_feature_dim: int = 1536
     vit_depth: int = 40

@@ -22,6 +22,7 @@ TPU deltas:
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, NamedTuple, Optional
 
 import numpy as np
@@ -83,16 +84,21 @@ class Renderer(nn.Module):
     frames_per_chunk: int = 1             # frames per scan step (memory vs MXU)
     rgb: bool = True                      # renderer.yaml:22; False -> SH colors
     sh_degree: int = 0                    # SH degree for the rgb=False branch
+    # Sparse-tile final upsample level (see TriplaneUpsampler.sparse_final):
+    # evaluates the 512^2 level only on body-covered tiles.
+    upsampler_sparse: bool = False
+    upsampler_sparse_max_tiles: int = 384
 
     def setup(self):
         if self.upsample_triplane:
             # channels_last: planes stay NHWC from the conv stack straight
             # into the bilinear gathers — no 512^2-sized relayout passes.
-            self.upsampler = TriplaneUpsampler(self.feature_dim,
-                                               self.num_upsample_blocks,
-                                               dtype=self.compute_dtype,
-                                               channels_last=True,
-                                               name="upsampler")
+            self.upsampler = TriplaneUpsampler(
+                self.feature_dim, self.num_upsample_blocks,
+                dtype=self.compute_dtype, channels_last=True,
+                sparse_final=self.upsampler_sparse,
+                sparse_max_tiles=self.upsampler_sparse_max_tiles,
+                name="upsampler")
         if self.point_refiner is not None:
             self.refine_mlp = nn.Sequential([
                 nn.Dense(256), nn.relu,
@@ -146,17 +152,29 @@ class Renderer(nn.Module):
         512^2 plane memory.
         """
         F = planes_lr.shape[0]
-        if self.upsample_triplane:
+        sparse = self.upsample_triplane and self.upsampler_sparse
+        if sparse:
+            # per-plane grid_sample coords of the body points drive the
+            # covered-tile selection (the halo covers refiner offsets)
+            u = jnp.clip(points / self.radius, -1.0, 1.0)    # (F, N, 3)
+            from ..ops.triplane import PLANE_AXES, sample_triplane_sparse
+            uv = jnp.stack([jnp.stack([u[..., a0], u[..., a1]], axis=-1)
+                            for a0, a1 in PLANE_AXES], axis=1)  # (F,3,N,2)
+            planes = self.upsampler(planes_lr, points_uv=uv)
+            sample = partial(sample_triplane_sparse, planes)
+        elif self.upsample_triplane:
             planes = self.upsampler(planes_lr)        # (F, 3, H', W', C)
+            sample = partial(sample_triplane_nhwc, planes)
         else:
             planes = jnp.transpose(planes_lr, (0, 1, 3, 4, 2))  # small relayout
+            sample = partial(sample_triplane_nhwc, planes)
 
-        feats = sample_triplane_nhwc(planes, points, self.radius)  # (F, N, 3C)
+        feats = sample(points, self.radius)           # (F, N, 3C)
         if self.point_refiner is not None:
             point_feats = self.point_refiner(points, feats)
             offsets = self.refine_mlp(point_feats)
             points = points + offsets
-            feats = sample_triplane_nhwc(planes, points, self.radius)
+            feats = sample(points, self.radius)
 
         dec_in = jnp.concatenate([points, feats], axis=-1)
         xyz_off = self.xyz_layer(dec_in)
@@ -181,28 +199,21 @@ class Renderer(nn.Module):
             if mode == "pallas" and jax.default_backend() != "tpu":
                 mode = "tiles"  # Mosaic kernels only lower on TPU
             sh_deg = None if self.rgb else self.sh_degree
-            if mode == "pallas":
-                # batched projection+binning (ONE pair sort across F frames),
-                # per-frame Pallas composites (pallas_call is not vmappable)
-                from ..ops.splat_pallas import render_frames_pallas
-                img = render_frames_pallas(
-                    gaussians["xyz"], gaussians["rot"], gaussians["scale"],
-                    gaussians["opacity"][..., 0], gaussians["color"],
-                    K, E, self.image_width, self.image_height,
+            # NOTE: a batched-binning path exists (splat_pallas.
+            # render_frames_pallas, parity-tested) but measured 47 ms/rollout
+            # SLOWER at full scale — XLA's batched (F, N*W^2) sort lowers
+            # worse than F serial sorts. Keeping the unrolled form.
+            imgs = []
+            for f in range(F):
+                imgs.append(splat.render_one(
+                    gaussians["xyz"][f], gaussians["rot"][f],
+                    gaussians["scale"][f], gaussians["opacity"][f, :, 0],
+                    gaussians["color"][f],
+                    K[f], E[f], self.image_width, self.image_height,
                     max_per_tile=self.max_per_tile,
-                    max_window=self.splat_max_window, sh_degree=sh_deg)
-            else:
-                imgs = []
-                for f in range(F):
-                    imgs.append(splat.render_one(
-                        gaussians["xyz"][f], gaussians["rot"][f],
-                        gaussians["scale"][f], gaussians["opacity"][f, :, 0],
-                        gaussians["color"][f],
-                        K[f], E[f], self.image_width, self.image_height,
-                        max_per_tile=self.max_per_tile,
-                        mode=mode, max_window=self.splat_max_window,
-                        sh_degree=sh_deg))
-                img = jnp.stack(imgs)
+                    mode=mode, max_window=self.splat_max_window,
+                    sh_degree=sh_deg))
+            img = jnp.stack(imgs)
         else:
             img = jnp.zeros((F, self.image_height, self.image_width, 3))
         return gaussians, img

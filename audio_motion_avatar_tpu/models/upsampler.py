@@ -11,10 +11,31 @@ SPMD-clean); same normalization granularity at GN(32).
 
 from __future__ import annotations
 
+from typing import NamedTuple, Optional
+
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from typing import Optional
+
+class SparseTriplanes(NamedTuple):
+    """Sparse-tile triplane output of the final upsample level.
+
+    tiles: (B, 3, cap, T, T, C) — per-plane covered tiles, row-major within
+        the tile; invalid (padding) slots are zeros.
+    slot:  (B, 3, G*G) int32 — tile id -> slot index into `tiles`, -1 where
+        the tile was not evaluated.
+    valid: (B, 3, cap) bool.
+    grid: tiles per plane side (G); tile_px: tile size T; res: plane
+        resolution G*T; all static.
+    """
+
+    tiles: jnp.ndarray
+    slot: jnp.ndarray
+    valid: jnp.ndarray
+    grid: int
+    tile_px: int
+    res: int
 
 
 def _nearest2x(x: jnp.ndarray) -> jnp.ndarray:
@@ -78,19 +99,123 @@ def _upsample2x_conv3x3(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
     return y + b
 
 
+def select_tiles(points_uv: jnp.ndarray, grid: int, cap: int,
+                 tile_px: int = 16):
+    """Covered-tile selection for one plane: (N, 2) uv in [-1, 1] ->
+    (tile_ids (cap,) int32, valid (cap,), slot (G*G,) int32 with -1 holes).
+
+    A tile is covered if a point lands in it or in its 3x3 neighborhood
+    (halo — bilinear taps and small refiner offsets stay inside). Tiles are
+    ranked by (dilated) point count so, if coverage exceeds `cap`, the
+    least-populated halo tiles are dropped first.
+    """
+    G2 = grid * grid
+    # grid_sample pixel convention: px = (u+1)*(res/2) - 0.5; tile = px//T
+    u = jnp.clip(points_uv, -1.0, 1.0)
+    cell = jnp.floor((u + 1.0) * (grid / 2.0) - 0.5 / tile_px)
+    cx = jnp.clip(cell[:, 0], 0, grid - 1).astype(jnp.int32)
+    cy = jnp.clip(cell[:, 1], 0, grid - 1).astype(jnp.int32)
+    tid = cy * grid + cx
+    counts = jnp.zeros((G2,), jnp.float32).at[tid].add(1.0)
+    cmap = counts.reshape(grid, grid)
+    # 3x3 dilation (halo) keeping a count-based priority
+    k = jnp.ones((3, 3, 1, 1), jnp.float32)
+    prio = jax.lax.conv_general_dilated(
+        cmap[None, :, :, None], k, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))[0, :, :, 0].reshape(G2)
+    topv, topi = jax.lax.top_k(prio, cap)
+    valid = topv > 0
+    tile_ids = jnp.where(valid, topi, 0).astype(jnp.int32)
+    slot = jnp.full((G2,), -1, jnp.int32)
+    slot = slot.at[tile_ids].set(
+        jnp.where(valid, jnp.arange(cap, dtype=jnp.int32), -1))
+    return tile_ids, valid, slot
+
+
+def _gather_patches(x: jnp.ndarray, tile_ids: jnp.ndarray, grid: int,
+                    in_tile: int, halo: int) -> jnp.ndarray:
+    """Gather (cap, in_tile+2*halo, in_tile+2*halo, C) patches from
+    (H, W, C), zero-padded at the borders."""
+    cap = tile_ids.shape[0]
+    P = in_tile + 2 * halo
+    xp = jnp.pad(x, ((halo, halo), (halo, halo), (0, 0)))
+    r0 = (tile_ids // grid) * in_tile          # top row in x coords
+    c0 = (tile_ids % grid) * in_tile
+    rows = r0[:, None] + jnp.arange(P)         # (cap, P) in padded coords
+    cols = c0[:, None] + jnp.arange(P)
+    return xp[rows[:, :, None], cols[:, None, :], :]  # (cap, P, P, C)
+
+
+def _masked_group_stats(x: jnp.ndarray, valid: jnp.ndarray, groups: int):
+    """Per-plane-frame GroupNorm statistics over valid tiles' pixels.
+
+    x: (F, cap, T, T, C); valid: (F, cap). Returns mean/var (F, groups)
+    computed over (valid tiles x T x T x C/groups) — the sparse analog of
+    per-sample GroupNorm stats (exact when every tile of the plane is
+    covered; otherwise statistics cover the body region only, a documented
+    deviation of the sparse path).
+    """
+    F, cap, T, _, C = x.shape
+    g = x.reshape(F, cap, T * T, groups, C // groups).astype(jnp.float32)
+    w = valid.astype(jnp.float32)[:, :, None, None, None]
+    n = jnp.maximum(valid.sum(-1).astype(jnp.float32), 1.0)[:, None] \
+        * (T * T * (C // groups))
+    mean = (g * w).sum(axis=(1, 2, 4)) / n                     # (F, groups)
+    var = ((g - mean[:, None, None, :, None]) ** 2 * w).sum(axis=(1, 2, 4)) / n
+    return mean, var
+
+
+def _apply_group_norm(x: jnp.ndarray, mean, var, scale, bias, groups: int,
+                      eps: float = 1e-6) -> jnp.ndarray:
+    """x: (F, cap, T, T, C); mean/var: (F, groups); scale/bias: (C,)."""
+    F, cap, T, _, C = x.shape
+    g = x.reshape(F, cap, T, T, groups, C // groups).astype(jnp.float32)
+    g = (g - mean[:, None, None, None, :, None]) * jax.lax.rsqrt(
+        var[:, None, None, None, :, None] + eps)
+    out = g.reshape(F, cap, T, T, C) * scale + bias
+    return out.astype(x.dtype)
+
+
+class _NormParams(nn.Module):
+    """Scale/bias params with the SAME tree layout as nn.GroupNorm, for the
+    sparse path's hand-rolled normalization (checkpoints interop)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.features,))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return s, b
+
+
+class SparseCtx(NamedTuple):
+    valid: jnp.ndarray        # (F, cap) bool — tile slots in use
+    inplane_u: jnp.ndarray    # (F, cap, 20, 20, 1) — u-window inside plane
+    inplane_c1: jnp.ndarray   # (F, cap, 18, 18, 1)
+
+
 class ResBlock(nn.Module):
     out_channels: int
     dtype: Optional[jnp.dtype] = None
+    groups: int = 32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        """x: (B, H, W, C) channel-last (native TPU conv layout)."""
+    def __call__(self, x: jnp.ndarray,
+                 sparse_ctx: Optional[SparseCtx] = None) -> jnp.ndarray:
+        """Dense: x (B, H, W, C) channel-last. Sparse: x (F, cap, 20, 20, C)
+        tile windows per plane-frame; returns (F, cap, 16, 16, C) interiors.
+        Param tree is identical in both modes."""
+        if sparse_ctx is not None:
+            return self._sparse(x, sparse_ctx)
         in_ch = x.shape[-1]
-        h = nn.GroupNorm(num_groups=32, name="norm1", dtype=self.dtype)(x)
+        h = nn.GroupNorm(num_groups=self.groups, name="norm1",
+                         dtype=self.dtype)(x)
         h = nn.relu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv1",
                     dtype=self.dtype)(h)
-        h = nn.GroupNorm(num_groups=32, name="norm2", dtype=self.dtype)(h)
+        h = nn.GroupNorm(num_groups=self.groups, name="norm2",
+                         dtype=self.dtype)(h)
         h = nn.relu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv2",
                     dtype=self.dtype)(h)
@@ -98,23 +223,74 @@ class ResBlock(nn.Module):
             self.out_channels, (1, 1), name="skip", dtype=self.dtype)(x)
         return skip + h
 
+    def _sparse(self, u: jnp.ndarray, ctx: SparseCtx) -> jnp.ndarray:
+        assert u.shape[-1] == self.out_channels, (u.shape,)
+        F, cap = u.shape[:2]
+        s1, b1 = _NormParams(self.out_channels, name="norm1")()
+        s2, b2 = _NormParams(self.out_channels, name="norm2")()
+
+        def conv(name):
+            return nn.Conv(self.out_channels, (3, 3), padding="VALID",
+                           name=name, dtype=self.dtype)
+
+        def as_batch(t):
+            return t.reshape((F * cap,) + t.shape[2:])
+
+        def per_frame(t):
+            return t.reshape((F, cap) + t.shape[1:])
+
+        # GN1 over tile interiors ([2:18] of the 20-window = the tile body)
+        m1, v1 = _masked_group_stats(u[:, :, 2:18, 2:18], ctx.valid,
+                                     self.groups)
+        h = nn.relu(_apply_group_norm(u, m1, v1, s1, b1, self.groups))
+        # out-of-plane u positions must contribute 0 to conv1 (the dense
+        # path's SAME padding semantics at the plane border)
+        h = h * ctx.inplane_u
+        h = per_frame(conv("conv1")(as_batch(h)))              # (F,cap,18,18,C)
+        m2, v2 = _masked_group_stats(h[:, :, 1:17, 1:17], ctx.valid,
+                                     self.groups)
+        h = nn.relu(_apply_group_norm(h, m2, v2, s2, b2, self.groups))
+        h = h * ctx.inplane_c1
+        h = per_frame(conv("conv2")(as_batch(h)))              # (F,cap,16,16,C)
+        return u[:, :, 2:18, 2:18] + h
+
 
 class UpsampleBlock(nn.Module):
     out_channels: int
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray,
+                 sparse_ctx: Optional[SparseCtx] = None) -> jnp.ndarray:
+        """Dense: x (B, H, W, C) -> (B, 2H, 2W, C').
+
+        Sparse: x (F, cap, 12, 12, C) input patches (8-tile + 2 halo at the
+        input res) -> (F, cap, 16, 16, C') evaluated tile interiors. Same
+        params either way (the polyphase interior of a haloed patch equals
+        the dense polyphase restricted to the window).
+        """
+        C = x.shape[-1]
         # nearest2x -> conv3x3 computed as the exact fused polyphase form;
         # the parameter stays the canonical (3,3,C,Co) kernel.
-        C = x.shape[-1]
         w = self.param("conv_kernel", nn.initializers.lecun_normal(),
                        (3, 3, C, self.out_channels))
         b = self.param("conv_bias", nn.initializers.zeros,
                        (self.out_channels,))
-        h = _upsample2x_conv3x3(x, w, b, dtype=self.dtype)
+        if sparse_ctx is None:
+            h = _upsample2x_conv3x3(x, w, b, dtype=self.dtype)
+            h = nn.relu(h)
+            return ResBlock(self.out_channels, name="res", dtype=self.dtype)(h)
+
+        F, cap = x.shape[:2]
+        h = _upsample2x_conv3x3(x.reshape((F * cap,) + x.shape[2:]), w, b,
+                                dtype=self.dtype)              # (FC,24,24,C')
+        h = h[:, 2:22, 2:22].reshape(F, cap, 20, 20, self.out_channels)
         h = nn.relu(h)
-        return ResBlock(self.out_channels, name="res", dtype=self.dtype)(h)
+        # zero out-of-plane u positions (dense u is only defined in-plane;
+        # conv SAME padding would see zeros there)
+        h = h * sparse_ctx.inplane_u
+        return ResBlock(self.out_channels, name="res",
+                        dtype=self.dtype)(h, sparse_ctx)
 
 
 class TriplaneUpsampler(nn.Module):
@@ -131,19 +307,36 @@ class TriplaneUpsampler(nn.Module):
     num_blocks: int = 4
     dtype: Optional[jnp.dtype] = None
     channels_last: bool = False
+    # Sparse final level: evaluate the last (most expensive) UpsampleBlock
+    # only on 16px tiles covered by the sample points (+1 tile halo). Exact
+    # where covered except GroupNorm statistics, which pool over covered
+    # tiles instead of the full plane (exactly equal at full coverage —
+    # tested). ~15-27% of tiles are covered by a human body projection, so
+    # this removes most of the final level's FLOPs and never materializes
+    # the full-res planes.
+    sparse_final: bool = False
+    sparse_max_tiles: int = 384
 
     @nn.compact
-    def __call__(self, planes: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, planes: jnp.ndarray,
+                 points_uv: Optional[jnp.ndarray] = None):
         """planes: (B, 3, C, H, W) -> (B, 3, C, H*2^N, W*2^N)
-        (or (B, 3, H*2^N, W*2^N, C) when channels_last)."""
+        (or (B, 3, H*2^N, W*2^N, C) when channels_last).
+
+        With sparse_final and points_uv (B, 3, N, 2) in [-1, 1] (per-plane
+        grid_sample coords): returns SparseTriplanes instead — sample with
+        ops.triplane.sample_triplane_sparse.
+        """
         B, P, C, H, W = planes.shape
         x = planes.reshape(B * P, C, H, W).transpose(0, 2, 3, 1)  # NHWC
         if self.dtype is not None:
             x = x.astype(self.dtype)
+        sparse = self.sparse_final and points_uv is not None
+        n_dense = self.num_blocks - 1 if sparse else self.num_blocks
         # The skip path is a RUNNING buffer of the input, 1x1-projected once
         # then nearest-upsampled each step (renderer.py:390-413).
         skip = x
-        for i in range(self.num_blocks):
+        for i in range(n_dense):
             up = UpsampleBlock(self.feature_dim, name=f"up_{i}",
                                dtype=self.dtype)(x)
             if i == 0:
@@ -151,11 +344,69 @@ class TriplaneUpsampler(nn.Module):
                                dtype=self.dtype)(skip)
             skip = _nearest2x(skip)
             x = up + skip
-        Hn, Wn, Cn = x.shape[1:4]
-        if self.channels_last:
-            return x.reshape(B, P, Hn, Wn, Cn)
-        out = x.astype(jnp.float32).transpose(0, 3, 1, 2)
-        return out.reshape(B, P, Cn, Hn, Wn)
+        if not sparse:
+            Hn, Wn, Cn = x.shape[1:4]
+            if self.channels_last:
+                return x.reshape(B, P, Hn, Wn, Cn)
+            out = x.astype(jnp.float32).transpose(0, 3, 1, 2)
+            return out.reshape(B, P, Cn, Hn, Wn)
+        return self._sparse_final_level(x, skip, points_uv, B, P)
+
+    def _sparse_final_level(self, x: jnp.ndarray, skip: jnp.ndarray,
+                            points_uv: jnp.ndarray, B: int, P: int):
+        """x, skip: (B*P, Hin, Win, C) at half the final res."""
+        FP, Hin, _, C = x.shape
+        res = Hin * 2
+        tile_px = 16
+        in_tile = tile_px // 2
+        grid = res // tile_px
+        cap = min(self.sparse_max_tiles, grid * grid)
+        uv = points_uv.reshape(FP, -1, 2)
+
+        if self.num_blocks == 1:  # final block is also block 0: the skip
+            skip = nn.Conv(self.feature_dim, (1, 1), name="skip_proj",
+                           dtype=self.dtype)(skip)
+
+        tile_ids, valid, slot = jax.vmap(
+            lambda u: select_tiles(u, grid, cap, tile_px))(uv)  # (FP,cap),(FP,G2)
+
+        patches = jax.vmap(
+            lambda xx, t: _gather_patches(xx, t, grid, in_tile, 2))(
+                x, tile_ids)                                   # (FP,cap,12,12,C)
+
+        # in-plane masks for the u (20^2) and conv1 (18^2) windows
+        r0 = (tile_ids // grid) * tile_px                      # (FP, cap)
+        c0 = (tile_ids % grid) * tile_px
+
+        def window_mask(extent, off):
+            rows = r0[:, :, None] - off + jnp.arange(extent)[None, None, :]
+            cols = c0[:, :, None] - off + jnp.arange(extent)[None, None, :]
+            rin = (rows >= 0) & (rows < res)
+            cin = (cols >= 0) & (cols < res)
+            m = rin[:, :, :, None] & cin[:, :, None, :]
+            return m[..., None].astype(x.dtype)                # (FP,cap,e,e,1)
+
+        ctx = SparseCtx(valid=valid,
+                        inplane_u=window_mask(20, 2),
+                        inplane_c1=window_mask(18, 1))
+        i = self.num_blocks - 1
+        res_tiles = UpsampleBlock(self.feature_dim, name=f"up_{i}",
+                                  dtype=self.dtype)(patches, ctx)
+
+        skip_patches = jax.vmap(
+            lambda s, t: _gather_patches(s, t, grid, in_tile, 0))(
+                skip, tile_ids)                                # (FP,cap,8,8,C)
+        FPc = FP * cap
+        skip2x = _nearest2x(skip_patches.reshape(FPc, in_tile, in_tile, C))
+        skip2x = skip2x.reshape(FP, cap, tile_px, tile_px, C)
+        tiles = (res_tiles + skip2x) * valid[..., None, None, None].astype(x.dtype)
+
+        Cn = tiles.shape[-1]
+        return SparseTriplanes(
+            tiles=tiles.reshape(B, P, cap, tile_px, tile_px, Cn),
+            slot=slot.reshape(B, P, grid * grid),
+            valid=valid.reshape(B, P, cap),
+            grid=grid, tile_px=tile_px, res=res)
 
 
 class ConvNeXtBlock(nn.Module):

@@ -203,6 +203,64 @@ def sample_triplane_nhwc(planes: jnp.ndarray, points: jnp.ndarray,
     return jax.vmap(one)(planes, u).astype(jnp.float32)
 
 
+def grid_sample_2d_sparse(tiles: jnp.ndarray, slot: jnp.ndarray,
+                          grid_xy: jnp.ndarray, grid: int, tile_px: int,
+                          res: int) -> jnp.ndarray:
+    """Bilinear sample from a sparse-tile plane (models/upsampler.py
+    SparseTriplanes): tiles (cap, T, T, C) + slot (G*G,) tile->slot map.
+
+    Identical math to grid_sample_2d; taps whose texel lies in an
+    unevaluated tile read 0 (the halo in tile selection makes this occur
+    only for points far outside the covered body region).
+    """
+    cap, T, _, C = tiles.shape
+    rows = tiles.reshape(cap * T * T, C)
+    x = (grid_xy[:, 0] + 1.0) * (res * 0.5) - 0.5
+    y = (grid_xy[:, 1] + 1.0) * (res * 0.5) - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx1 = x - x0
+    wy1 = y - y0
+    wx0 = 1.0 - wx1
+    wy0 = 1.0 - wy1
+
+    def tap(xi, yi, w):
+        inb = (xi >= 0) & (xi < res) & (yi >= 0) & (yi < res)
+        xc = jnp.clip(xi, 0, res - 1)
+        yc = jnp.clip(yi, 0, res - 1)
+        tid = (yc // tile_px) * grid + (xc // tile_px)
+        s = slot[tid]                                  # (N,), -1 if absent
+        ok = inb & (s >= 0)
+        sc = jnp.clip(s, 0)
+        idx = sc * (T * T) + (yc % tile_px) * T + (xc % tile_px)
+        vals = jnp.take(rows, idx, axis=0)             # (N, C)
+        return vals.astype(jnp.float32) * (w * ok)[:, None]
+
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    return (tap(x0i, y0i, wx0 * wy0)
+            + tap(x0i + 1, y0i, wx1 * wy0)
+            + tap(x0i, y0i + 1, wx0 * wy1)
+            + tap(x0i + 1, y0i + 1, wx1 * wy1))
+
+
+def sample_triplane_sparse(sp, points: jnp.ndarray,
+                           radius: float) -> jnp.ndarray:
+    """`sample_triplane` over SparseTriplanes: (B, N, 3) world points ->
+    (B, N, 3*C) float32, ordered [xy, xz, yz] like the dense samplers."""
+    u = jnp.clip(points / radius, -1.0, 1.0)
+
+    def one(tiles_b, slot_b, uu):
+        feats = []
+        for pi, (a0, a1) in enumerate(PLANE_AXES):
+            g = jnp.stack([uu[:, a0], uu[:, a1]], axis=-1)
+            feats.append(grid_sample_2d_sparse(
+                tiles_b[pi], slot_b[pi], g, sp.grid, sp.tile_px, sp.res))
+        return jnp.concatenate(feats, axis=-1)
+
+    return jax.vmap(one)(sp.tiles, sp.slot, u).astype(jnp.float32)
+
+
 def tokens_to_planes(tokens: jnp.ndarray, resolution: int) -> jnp.ndarray:
     """(..., C, 3*R*R) channel-first tokens -> (..., 3, C, R, R)."""
     *lead, C, S = tokens.shape

@@ -138,3 +138,26 @@ def test_avatar_sh_color_mode_forward():
                       jnp.asarray(ref.video), ref.smpl_parms, cam)
     assert out.gaussians["color"].shape[-1] == 3 * 4  # deg 1 -> 4 coeffs x 3
     assert np.isfinite(np.asarray(out.rendered_images)).all()
+
+
+def test_avatar_sparse_upsampler_forward():
+    """upsampler_sparse=True: tile-sparse final level end-to-end through the
+    avatar forward (render included) on CPU."""
+    import dataclasses
+    cfg_sp = dataclasses.replace(CFG, upsampler_sparse=True,
+                                 upsampler_sparse_max_tiles=16)
+    model = TriplaneGaussianAvatar(cfg=cfg_sp, num_verts_encoder=NUM_VERTS_ENC)
+    ref = make_batch(1, 1, CFG.image_size, seed=0)
+    cam = {k: jnp.asarray(v) for k, v in ref.cam_parms.items()}
+    variables = model.init(jax.random.PRNGKey(0), STATICS,
+                           jnp.asarray(ref.video), ref.smpl_parms, cam)
+    out = model.apply(pmesh.unbox(variables), STATICS,
+                      jnp.asarray(ref.video), ref.smpl_parms, cam)
+    assert np.isfinite(np.asarray(out.rendered_images)).all()
+    # param tree identical to the dense upsampler's (checkpoint interop)
+    dense = TriplaneGaussianAvatar(cfg=CFG, num_verts_encoder=NUM_VERTS_ENC)
+    vd = dense.init(jax.random.PRNGKey(0), STATICS,
+                    jnp.asarray(ref.video), ref.smpl_parms, cam)
+    td = jax.tree_util.tree_structure(pmesh.unbox(vd))
+    ts = jax.tree_util.tree_structure(pmesh.unbox(variables))
+    assert td == ts

@@ -110,3 +110,66 @@ def test_sample_triplane_nhwc_matches_nchw():
         nhwc.astype(jnp.bfloat16), jnp.asarray(pts), radius))
     np.testing.assert_allclose(out_bf16, ref, atol=3e-2)
     assert out_bf16.dtype == np.float32
+
+
+def _sparse_setup(num_blocks=2, C=32, R=8, B=1, cap=None, seed=0):
+    import jax
+    import jax.numpy as jnp
+    from audio_motion_avatar_tpu.models.upsampler import TriplaneUpsampler
+    rng = np.random.RandomState(seed)
+    planes = jnp.asarray(rng.randn(B, 3, C, R, R).astype(np.float32))
+    res = R * 2 ** num_blocks
+    grid = res // 16
+    cap = cap if cap is not None else grid * grid
+    dense = TriplaneUpsampler(C, num_blocks, channels_last=True)
+    sparse = TriplaneUpsampler(C, num_blocks, sparse_final=True,
+                               sparse_max_tiles=cap)
+    v = dense.init(jax.random.PRNGKey(0), planes)
+    return planes, dense, sparse, v, res, grid
+
+
+def test_sparse_upsampler_full_coverage_equals_dense():
+    """With EVERY tile covered the sparse final level (incl. its GroupNorm
+    statistics over covered-tile interiors) must reproduce the dense
+    upsampler bit-for-bit (up to fp assoc)."""
+    import jax
+    import jax.numpy as jnp
+    from audio_motion_avatar_tpu.ops import triplane as T
+
+    planes, dense, sparse, v, res, grid = _sparse_setup()
+    # points covering every tile of every plane: a dense grid in [-1,1]^3
+    g = np.linspace(-0.97, 0.97, 24)
+    pts3 = np.stack(np.meshgrid(g, g, g), -1).reshape(-1, 3)
+    pts = jnp.asarray(pts3[None].astype(np.float32)) * 1.4  # radius 1.4
+    u = jnp.clip(pts / 1.4, -1, 1)
+    uv = jnp.stack([jnp.stack([u[..., a0], u[..., a1]], -1)
+                    for a0, a1 in T.PLANE_AXES], axis=1)
+
+    out_d = dense.apply(v, planes)                      # (B,3,res,res,C)
+    sp = sparse.apply(v, planes, points_uv=uv)
+    assert bool(sp.valid.all()), "full grid must cover every tile"
+
+    feats_d = T.sample_triplane_nhwc(out_d, pts, 1.4)
+    feats_s = T.sample_triplane_sparse(sp, pts, 1.4)
+    np.testing.assert_allclose(np.asarray(feats_s), np.asarray(feats_d),
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_sparse_upsampler_partial_coverage_sane():
+    """Body-like cluster: sampled features must be finite, nonzero, and the
+    slot map must mark uncovered tiles -1."""
+    import jax.numpy as jnp
+    from audio_motion_avatar_tpu.ops import triplane as T
+
+    planes, dense, sparse, v, res, grid = _sparse_setup(R=16, cap=9)
+    assert grid == 4                         # 16 tiles, cap 9
+    rng = np.random.RandomState(3)
+    pts = jnp.asarray((rng.randn(1, 200, 3) * 0.1).astype(np.float32))
+    u = jnp.clip(pts / 1.4, -1, 1)
+    uv = jnp.stack([jnp.stack([u[..., a0], u[..., a1]], -1)
+                    for a0, a1 in T.PLANE_AXES], axis=1)
+    sp = sparse.apply(v, planes, points_uv=uv)
+    assert int((sp.slot >= 0).sum()) < sp.slot.size  # uncovered tiles exist
+    feats = T.sample_triplane_sparse(sp, pts, 1.4)
+    assert np.isfinite(np.asarray(feats)).all()
+    assert float(jnp.abs(feats).max()) > 0

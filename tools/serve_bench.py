@@ -35,7 +35,7 @@ import numpy as np
 
 
 def build(batch: int, frames_per_chunk: int, ablate: str = "none",
-          image_size=(512, 512)):
+          image_size=(512, 512), sparse: bool = False):
     import dataclasses
     import jax
     import jax.numpy as jnp
@@ -53,7 +53,8 @@ def build(batch: int, frames_per_chunk: int, ablate: str = "none",
         compute_dtype="bfloat16",
         frames_per_chunk=frames_per_chunk,
         upsample_triplane=(ablate != "upsampler"),
-        no_point_refiner=(ablate == "refiner"))
+        no_point_refiner=(ablate == "refiner"),
+        upsampler_sparse=sparse)
     smplx_model = smplx_ops.synthetic_model(seed=0)
     statics = build_renderer_statics(smplx_model,
                                      subdivide_steps=cfg.subdivide_steps,
@@ -92,9 +93,12 @@ def build(batch: int, frames_per_chunk: int, ablate: str = "none",
         flat = out_smpl.reshape((Bc * T,) + out_smpl.shape[2:])
         pred = reshape_params(
             mdl.triplane_gaussian.encoder.smpl_decoder(flat), (Bc, T))
-        rendered, _ = mdl.triplane_gaussian.renderer(
+        rendered, gaussians = mdl.triplane_gaussian.renderer(
             statics, out_tri, cam_chunk, pred, render=(ablate != "render"))
-        return rendered, out_tri, out_smpl
+        # fence on the gaussians too: with render=False the images are None
+        # and fencing only the tokens would let XLA DCE the whole renderer
+        fence = gaussians["xyz"].mean() + gaussians["color"].mean()
+        return rendered, out_tri + fence.astype(out_tri.dtype), out_smpl
 
     def init_fn(mdl, tri, smpl, aud, cam_chunk):
         # same module graph, render skipped: params are identical and init
@@ -121,9 +125,10 @@ def build(batch: int, frames_per_chunk: int, ablate: str = "none",
     return rollout, params, (triplanes, smpl_tokens, audio, cam), (B, T_out)
 
 
-def run(batch=2, frames_per_chunk=6, ablate="none", reps=5, image_size=(512, 512)):
+def run(batch=2, frames_per_chunk=6, ablate="none", reps=5,
+        image_size=(512, 512), sparse=False):
     rollout, params, args_, (B, T_out) = build(batch, frames_per_chunk,
-                                               ablate, image_size)
+                                               ablate, image_size, sparse)
     tri, smpl, aud, cam = args_
 
     def fence(out):
@@ -154,9 +159,11 @@ def main():
                     choices=["none", "audio", "upsampler", "refiner", "render"])
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--image-size", type=int, nargs=2, default=[512, 512])
+    ap.add_argument("--sparse", action="store_true",
+                    help="tile-sparse final upsample level")
     a = ap.parse_args()
     res = run(a.batch, a.frames_per_chunk, a.ablate, a.reps,
-              tuple(a.image_size))
+              tuple(a.image_size), sparse=a.sparse)
     print(json.dumps({k: (round(v, 2) if isinstance(v, float) else v)
                       for k, v in res.items()}))
 
