@@ -50,6 +50,7 @@ def build_avatar_config(cfg: Config) -> AvatarConfig:
         max_per_tile=rd.get("max_per_tile", 512),
         upsampler_sparse=rd.get("upsampler_sparse", False),
         upsampler_sparse_max_tiles=rd.get("upsampler_sparse_max_tiles", 384),
+        upsampler_sparse_tile_px=rd.get("upsampler_sparse_tile_px", 16),
         image_feature_dim=se.image_feature_dim,
         vit_depth=se.get("vit_depth", 40),
         vit_heads=se.get("vit_heads", 24),

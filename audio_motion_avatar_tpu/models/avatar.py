@@ -99,6 +99,7 @@ class TriplaneGaussianAvatar(nn.Module):
             sh_degree=c.sh_degree,
             upsampler_sparse=c.upsampler_sparse,
             upsampler_sparse_max_tiles=c.upsampler_sparse_max_tiles,
+            upsampler_sparse_tile_px=c.upsampler_sparse_tile_px,
             name="renderer")
 
     def __call__(self, statics: RendererStatics, images: jnp.ndarray,

@@ -44,6 +44,7 @@ class AvatarConfig:
     # evaluate the 512^2 conv level only on body-covered 16px tiles
     upsampler_sparse: bool = False
     upsampler_sparse_max_tiles: int = 384
+    upsampler_sparse_tile_px: int = 16
     # sapiens_encoder.yaml
     image_feature_dim: int = 1536
     vit_depth: int = 40

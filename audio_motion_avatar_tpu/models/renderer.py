@@ -88,6 +88,7 @@ class Renderer(nn.Module):
     # evaluates the 512^2 level only on body-covered tiles.
     upsampler_sparse: bool = False
     upsampler_sparse_max_tiles: int = 384
+    upsampler_sparse_tile_px: int = 16
 
     def setup(self):
         if self.upsample_triplane:
@@ -98,6 +99,7 @@ class Renderer(nn.Module):
                 dtype=self.compute_dtype, channels_last=True,
                 sparse_final=self.upsampler_sparse,
                 sparse_max_tiles=self.upsampler_sparse_max_tiles,
+                sparse_tile_px=self.upsampler_sparse_tile_px,
                 name="upsampler")
         if self.point_refiner is not None:
             self.refine_mlp = nn.Sequential([

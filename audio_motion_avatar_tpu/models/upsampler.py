@@ -191,8 +191,8 @@ class _NormParams(nn.Module):
 
 class SparseCtx(NamedTuple):
     valid: jnp.ndarray        # (F, cap) bool — tile slots in use
-    inplane_u: jnp.ndarray    # (F, cap, 20, 20, 1) — u-window inside plane
-    inplane_c1: jnp.ndarray   # (F, cap, 18, 18, 1)
+    inplane_u: jnp.ndarray    # (F, cap, T+4, T+4, 1) — u-window inside plane
+    inplane_c1: jnp.ndarray   # (F, cap, T+2, T+2, 1)
 
 
 class ResBlock(nn.Module):
@@ -203,9 +203,9 @@ class ResBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray,
                  sparse_ctx: Optional[SparseCtx] = None) -> jnp.ndarray:
-        """Dense: x (B, H, W, C) channel-last. Sparse: x (F, cap, 20, 20, C)
-        tile windows per plane-frame; returns (F, cap, 16, 16, C) interiors.
-        Param tree is identical in both modes."""
+        """Dense: x (B, H, W, C) channel-last. Sparse: x (F, cap, T+4, T+4,
+        C) tile windows per plane-frame; returns (F, cap, T, T, C)
+        interiors. Param tree is identical in both modes."""
         if sparse_ctx is not None:
             return self._sparse(x, sparse_ctx)
         in_ch = x.shape[-1]
@@ -239,20 +239,21 @@ class ResBlock(nn.Module):
         def per_frame(t):
             return t.reshape((F, cap) + t.shape[1:])
 
-        # GN1 over tile interiors ([2:18] of the 20-window = the tile body)
-        m1, v1 = _masked_group_stats(u[:, :, 2:18, 2:18], ctx.valid,
+        T = u.shape[2] - 4  # tile px; windows are T+4 (u) and T+2 (conv1)
+        # GN1 over tile interiors ([2:T+2] of the u-window = the tile body)
+        m1, v1 = _masked_group_stats(u[:, :, 2:T + 2, 2:T + 2], ctx.valid,
                                      self.groups)
         h = nn.relu(_apply_group_norm(u, m1, v1, s1, b1, self.groups))
         # out-of-plane u positions must contribute 0 to conv1 (the dense
         # path's SAME padding semantics at the plane border)
         h = h * ctx.inplane_u
         h = per_frame(conv("conv1")(as_batch(h)))              # (F,cap,18,18,C)
-        m2, v2 = _masked_group_stats(h[:, :, 1:17, 1:17], ctx.valid,
+        m2, v2 = _masked_group_stats(h[:, :, 1:T + 1, 1:T + 1], ctx.valid,
                                      self.groups)
         h = nn.relu(_apply_group_norm(h, m2, v2, s2, b2, self.groups))
         h = h * ctx.inplane_c1
-        h = per_frame(conv("conv2")(as_batch(h)))              # (F,cap,16,16,C)
-        return u[:, :, 2:18, 2:18] + h
+        h = per_frame(conv("conv2")(as_batch(h)))              # (F,cap,T,T,C)
+        return u[:, :, 2:T + 2, 2:T + 2] + h
 
 
 class UpsampleBlock(nn.Module):
@@ -281,10 +282,12 @@ class UpsampleBlock(nn.Module):
             h = nn.relu(h)
             return ResBlock(self.out_channels, name="res", dtype=self.dtype)(h)
 
-        F, cap = x.shape[:2]
+        F, cap, Pin = x.shape[:3]
+        T = (Pin - 4) * 2  # tile px at the output res
         h = _upsample2x_conv3x3(x.reshape((F * cap,) + x.shape[2:]), w, b,
-                                dtype=self.dtype)              # (FC,24,24,C')
-        h = h[:, 2:22, 2:22].reshape(F, cap, 20, 20, self.out_channels)
+                                dtype=self.dtype)              # (FC,2Pin,2Pin,C')
+        h = h[:, 2:2 + T + 4, 2:2 + T + 4].reshape(
+            F, cap, T + 4, T + 4, self.out_channels)
         h = nn.relu(h)
         # zero out-of-plane u positions (dense u is only defined in-plane;
         # conv SAME padding would see zeros there)
@@ -316,6 +319,7 @@ class TriplaneUpsampler(nn.Module):
     # the full-res planes.
     sparse_final: bool = False
     sparse_max_tiles: int = 384
+    sparse_tile_px: int = 16
 
     @nn.compact
     def __call__(self, planes: jnp.ndarray,
@@ -357,7 +361,7 @@ class TriplaneUpsampler(nn.Module):
         """x, skip: (B*P, Hin, Win, C) at half the final res."""
         FP, Hin, _, C = x.shape
         res = Hin * 2
-        tile_px = 16
+        tile_px = min(self.sparse_tile_px, res)
         in_tile = tile_px // 2
         grid = res // tile_px
         cap = min(self.sparse_max_tiles, grid * grid)
@@ -372,9 +376,9 @@ class TriplaneUpsampler(nn.Module):
 
         patches = jax.vmap(
             lambda xx, t: _gather_patches(xx, t, grid, in_tile, 2))(
-                x, tile_ids)                                   # (FP,cap,12,12,C)
+                x, tile_ids)                           # (FP,cap,Tin+4,Tin+4,C)
 
-        # in-plane masks for the u (20^2) and conv1 (18^2) windows
+        # in-plane masks for the u (T+4)^2 and conv1 (T+2)^2 windows
         r0 = (tile_ids // grid) * tile_px                      # (FP, cap)
         c0 = (tile_ids % grid) * tile_px
 
@@ -387,8 +391,8 @@ class TriplaneUpsampler(nn.Module):
             return m[..., None].astype(x.dtype)                # (FP,cap,e,e,1)
 
         ctx = SparseCtx(valid=valid,
-                        inplane_u=window_mask(20, 2),
-                        inplane_c1=window_mask(18, 1))
+                        inplane_u=window_mask(tile_px + 4, 2),
+                        inplane_c1=window_mask(tile_px + 2, 1))
         i = self.num_blocks - 1
         res_tiles = UpsampleBlock(self.feature_dim, name=f"up_{i}",
                                   dtype=self.dtype)(patches, ctx)

@@ -35,7 +35,8 @@ import numpy as np
 
 
 def build(batch: int, frames_per_chunk: int, ablate: str = "none",
-          image_size=(512, 512), sparse: bool = False):
+          image_size=(512, 512), sparse: bool = False,
+          sparse_cap: int = 384, sparse_tile: int = 16):
     import dataclasses
     import jax
     import jax.numpy as jnp
@@ -54,7 +55,9 @@ def build(batch: int, frames_per_chunk: int, ablate: str = "none",
         frames_per_chunk=frames_per_chunk,
         upsample_triplane=(ablate != "upsampler"),
         no_point_refiner=(ablate == "refiner"),
-        upsampler_sparse=sparse)
+        upsampler_sparse=sparse,
+        upsampler_sparse_max_tiles=sparse_cap,
+        upsampler_sparse_tile_px=sparse_tile)
     smplx_model = smplx_ops.synthetic_model(seed=0)
     statics = build_renderer_statics(smplx_model,
                                      subdivide_steps=cfg.subdivide_steps,
@@ -126,9 +129,10 @@ def build(batch: int, frames_per_chunk: int, ablate: str = "none",
 
 
 def run(batch=2, frames_per_chunk=6, ablate="none", reps=5,
-        image_size=(512, 512), sparse=False):
+        image_size=(512, 512), sparse=False, sparse_cap=384, sparse_tile=16):
     rollout, params, args_, (B, T_out) = build(batch, frames_per_chunk,
-                                               ablate, image_size, sparse)
+                                               ablate, image_size, sparse,
+                                               sparse_cap, sparse_tile)
     tri, smpl, aud, cam = args_
 
     def fence(out):
@@ -161,9 +165,12 @@ def main():
     ap.add_argument("--image-size", type=int, nargs=2, default=[512, 512])
     ap.add_argument("--sparse", action="store_true",
                     help="tile-sparse final upsample level")
+    ap.add_argument("--sparse-cap", type=int, default=384)
+    ap.add_argument("--sparse-tile", type=int, default=16)
     a = ap.parse_args()
     res = run(a.batch, a.frames_per_chunk, a.ablate, a.reps,
-              tuple(a.image_size), sparse=a.sparse)
+              tuple(a.image_size), sparse=a.sparse, sparse_cap=a.sparse_cap,
+              sparse_tile=a.sparse_tile)
     print(json.dumps({k: (round(v, 2) if isinstance(v, float) else v)
                       for k, v in res.items()}))
 
