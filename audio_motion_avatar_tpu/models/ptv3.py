@@ -73,8 +73,9 @@ class SerialBlock(nn.Module):
         g = N // p
         h = nn.LayerNorm(name="ln1", dtype=self.dtype)(x)
         hq = h.reshape(g, p, C)
-        attn_mask = mask.reshape(g, 1, 1, p)  # (G, 1, 1, P_keys), True=attend
-        attn_mask = jnp.broadcast_to(attn_mask, (g, 1, p, p))
+        # (G, 1, 1, P_keys) broadcasts inside the attention — materializing
+        # the (G, 1, P, P) form costs ~4GB of HBM mask traffic per rollout
+        attn_mask = mask.reshape(g, 1, 1, p)
         attn = nn.MultiHeadDotProductAttention(
             num_heads=self.heads, dtype=self.dtype,
             name="attn")(hq, hq, mask=attn_mask)

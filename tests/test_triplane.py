@@ -173,3 +173,28 @@ def test_sparse_upsampler_partial_coverage_sane():
     feats = T.sample_triplane_sparse(sp, pts, 1.4)
     assert np.isfinite(np.asarray(feats)).all()
     assert float(jnp.abs(feats).max()) > 0
+
+
+def test_sparse_upsampler_gradients_finite():
+    """Training must work through the sparse path: grads w.r.t. params and
+    input planes are finite (gathers/top_k select, grads flow via values)."""
+    import jax
+    import jax.numpy as jnp
+    from audio_motion_avatar_tpu.ops import triplane as T
+
+    planes, dense, sparse, v, res, grid = _sparse_setup(R=16, cap=9)
+    rng = np.random.RandomState(4)
+    pts = jnp.asarray((rng.randn(1, 64, 3) * 0.2).astype(np.float32))
+    u = jnp.clip(pts / 1.4, -1, 1)
+    uv = jnp.stack([jnp.stack([u[..., a0], u[..., a1]], -1)
+                    for a0, a1 in T.PLANE_AXES], axis=1)
+
+    def loss(params, pl):
+        sp = sparse.apply(params, pl, points_uv=uv)
+        f = T.sample_triplane_sparse(sp, pts, 1.4)
+        return (f ** 2).mean()
+
+    g_params, g_planes = jax.grad(loss, argnums=(0, 1))(v, planes)
+    leaves = jax.tree_util.tree_leaves(g_params) + [g_planes]
+    assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+    assert float(jnp.abs(g_planes).max()) > 0
