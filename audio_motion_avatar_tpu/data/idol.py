@@ -247,6 +247,10 @@ class AvatarDataset:
         self.allow_k_angles = float(ds.get("allow_k_angles_near_the_front", 0))
         self.crop = bool(ds.get("crop", False)) and split == "train"
         self.test_mode = bool(ds.get("test_mode", False)) or split == "test"
+        # reference test_pose_override (dataset_idol.py:140,742-744): replace
+        # target poses with the prepare_camera look-at ring
+        self.test_pose_override = bool(ds.get("test_pose_override", False))
+        self.override_num_views = int(ds.get("override_num_views", 24))
         self.radius = float(ds.get("radius", 1.0))
         self.batch_size = int(cfg.training.batch_size) if split == "train" else 1
         self.rng = random.Random(0)
@@ -403,6 +407,16 @@ class AvatarDataset:
 
         ref = build([0])
         test = build(list(range(1, len(views))))
+        if self.test_mode and self.test_pose_override:
+            # synthetic camera ring replaces the target poses
+            # (dataset_idol.py:742-744 + prepare_camera :877-932); w2c from
+            # the ring's c2w; images/smpl params keep the scene's content
+            K, ring = prepare_camera(W, H, num_views=self.override_num_views)
+            n_t = test.cam_parms["extrinsic"].shape[1]
+            Es_o = np.stack([np.linalg.inv(ring[i % len(ring)])
+                             for i in range(n_t)]).astype(np.float32)
+            test.cam_parms["extrinsic"] = Es_o[None]
+            test.cam_parms["intrinsic"] = np.tile(K[None, None], (1, n_t, 1, 1))
         return ref, test, idx
 
     def __getitem__(self, idx):

@@ -322,3 +322,22 @@ def test_idol_prepare_camera():
         fwd = p[:3, :3] @ np.array([0, 0, 1.0])
         to_origin = -p[:3, 3] / np.linalg.norm(p[:3, 3])
         np.testing.assert_allclose(fwd, to_origin, atol=1e-5)
+
+
+def test_idol_test_pose_override(tmp_path):
+    from audio_motion_avatar_tpu.data.idol import AvatarDataset
+    cache = make_idol_ref_layout_fixture(tmp_path, n_views=6, video=False)
+    cfg = _cfg({"image_size": [32, 32], "specific_observation_num": 4,
+                "first_is_front": True, "test_mode": True,
+                "test_pose_override": True, "override_num_views": 6,
+                "cache_path_train": [cache]})
+    ds = AvatarDataset(cfg, "train")
+    ref, test, idx = ds[0]
+    E = test.cam_parms["extrinsic"][0]
+    K = test.cam_parms["intrinsic"][0]
+    # the ring's intrinsics: focal 40mm on a 32mm sensor
+    np.testing.assert_allclose(K[0, 0, 0], 40.0 * 32 / 32.0)
+    # each target pose is w2c of a radius-1.5 orbit: camera center |C|=1.5
+    for t in range(E.shape[0]):
+        c2w = np.linalg.inv(E[t])
+        np.testing.assert_allclose(np.linalg.norm(c2w[:3, 3]), 1.5, rtol=1e-4)
