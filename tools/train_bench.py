@@ -13,8 +13,14 @@ times with a host-transfer fence (float(loss)) after each; the axon relay
 does not reliably honor block_until_ready.
 """
 
+import os
 import sys
 import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
