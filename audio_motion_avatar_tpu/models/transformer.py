@@ -143,8 +143,13 @@ class Attention(nn.Module):
         vh = p(v).transpose(0, 2, 1, 3)
         seg = jnp.where(jnp.arange(Sp) < S, 1, 2).astype(jnp.int32)
         seg = jnp.broadcast_to(seg[None], (B, Sp))
-        bs = fa.BlockSizes(block_q=BLOCK, block_k_major=BLOCK, block_k=BLOCK,
-                           block_b=1)
+        # ALL block sizes (incl. backward dkv/dq) must be given or the
+        # kernel refuses to differentiate (stage-2 training hits the bwd).
+        bs = fa.BlockSizes(
+            block_q=BLOCK, block_k_major=BLOCK, block_k=BLOCK, block_b=1,
+            block_q_major_dkv=BLOCK, block_k_major_dkv=BLOCK,
+            block_k_dkv=BLOCK, block_q_dkv=BLOCK,
+            block_k_major_dq=BLOCK, block_k_dq=BLOCK, block_q_dq=BLOCK)
         out = fa.flash_attention(qh, kh, vh,
                                  segment_ids=fa.SegmentIds(q=seg, kv=seg),
                                  sm_scale=scale, block_sizes=bs)

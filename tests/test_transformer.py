@@ -105,3 +105,28 @@ def test_cross_attention_single_token_shortcut_exact():
 
     # params must keep the full q/k/v/out layout for checkpoint compat
     assert set(p.keys()) == {"q", "k", "v", "out"}
+
+
+def test_flash_block_sizes_fully_specified_for_backward():
+    """The tuned flash BlockSizes must specify EVERY backward block size —
+    the kernel refuses differentiation otherwise, which would break stage-2
+    training on TPU (this test guards the config; the kernel itself is
+    TPU-only)."""
+    import dataclasses
+    from jax.experimental.pallas.ops.tpu import flash_attention as fa
+    BLOCK = 1024
+    bs = fa.BlockSizes(
+        block_q=BLOCK, block_k_major=BLOCK, block_k=BLOCK, block_b=1,
+        block_q_major_dkv=BLOCK, block_k_major_dkv=BLOCK,
+        block_k_dkv=BLOCK, block_q_dkv=BLOCK,
+        block_k_major_dq=BLOCK, block_k_dq=BLOCK, block_q_dq=BLOCK)
+    for f in dataclasses.fields(bs):
+        assert getattr(bs, f.name) is not None, f.name
+    assert bs.has_backward_blocks
+
+    # and the source wires exactly this shape of BlockSizes
+    import inspect
+    from audio_motion_avatar_tpu.models import transformer as tfm
+    src = inspect.getsource(tfm.Attention._flash)
+    for field in ("block_q_dkv", "block_k_dq", "block_q_major_dkv"):
+        assert field in src, f"_flash must set {field}"
