@@ -96,10 +96,17 @@ def shard_like_params(params_shardings, tree):
 def state_shardings(mesh: Mesh, state, params_logical):
     """TrainState-shaped sharding tree: params by their logical axes
     (tensor parallelism over 'model'), optimizer moments like the params,
-    counters/step replicated."""
+    counters/step replicated.
+
+    Optimizer state covers only the TRAINABLE subtree (train_state
+    split_frozen excludes the frozen encoder from Adam state), so the
+    moment matcher uses the trainable shard tree, not the full params."""
+    from ..training.train_state import split_frozen
     psh = to_named_shardings(mesh, params_logical)
+    psh_train, _ = split_frozen(psh)
     return state.replace(step=replicated(mesh), params=psh,
-                         opt_state=shard_like_params(psh, state.opt_state))
+                         opt_state=shard_like_params(psh_train,
+                                                     state.opt_state))
 
 
 def batch_sharding(mesh: Mesh):

@@ -53,19 +53,52 @@ def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
     return tx
 
 
+# Param subtrees that never train. The reference freezes Sapiens via
+# requires_grad=False, and torch Adam lazily allocates state only for params
+# WITH grads — so the 1B frozen encoder carries no optimizer state there.
+# Without this split, Adam moments for the frozen ViT alone are ~10GB fp32 —
+# measured OOM (19.9G of 15.75G hbm) on the full-scale stage-1 step.
+FROZEN_PREFIXES = ("sapiens_encoder",)
+
+
+def _is_frozen(path_keys, prefixes=FROZEN_PREFIXES) -> bool:
+    return any(p in path_keys for p in prefixes)
+
+
+def split_frozen(params, prefixes=FROZEN_PREFIXES):
+    """params -> (trainable, frozen) dicts (flax flatten/unflatten)."""
+    from flax import traverse_util
+    flat = traverse_util.flatten_dict(params)
+    train = {k: v for k, v in flat.items() if not _is_frozen(k, prefixes)}
+    frozen = {k: v for k, v in flat.items() if _is_frozen(k, prefixes)}
+    return (traverse_util.unflatten_dict(train),
+            traverse_util.unflatten_dict(frozen))
+
+
+def merge_frozen(trainable, frozen):
+    from flax import traverse_util
+    flat = dict(traverse_util.flatten_dict(trainable))
+    flat.update(traverse_util.flatten_dict(frozen))
+    return traverse_util.unflatten_dict(flat)
+
+
 class TrainState(struct.PyTreeNode):
     step: jnp.ndarray
     params: Any
-    opt_state: Any
+    opt_state: Any          # optimizer state over the TRAINABLE subtree only
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
 
     def apply_gradients(self, grads):
-        updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
-        new_params = optax.apply_updates(self.params, updates)
-        return self.replace(step=self.step + 1, params=new_params,
+        g_train, _ = split_frozen(grads)
+        p_train, p_frozen = split_frozen(self.params)
+        updates, new_opt = self.tx.update(g_train, self.opt_state, p_train)
+        new_train = optax.apply_updates(p_train, updates)
+        return self.replace(step=self.step + 1,
+                            params=merge_frozen(new_train, p_frozen),
                             opt_state=new_opt)
 
     @classmethod
     def create(cls, params, tx):
+        p_train, _ = split_frozen(params)
         return cls(step=jnp.zeros((), jnp.int32), params=params,
-                   opt_state=tx.init(params), tx=tx)
+                   opt_state=tx.init(p_train), tx=tx)

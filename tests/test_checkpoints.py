@@ -83,3 +83,36 @@ def test_topk_fifo_without_metrics(tmp_path):
     for s in (1, 2, 3):
         mgr.save(s, state)
     assert set(mgr._mgr.all_steps()) == {2, 3}
+
+
+def test_frozen_params_carry_no_optimizer_state():
+    """Adam moments must exist ONLY for trainable params — the frozen
+    sapiens_encoder subtree (1B params at full scale, ~10GB of fp32 moments)
+    is excluded, matching torch Adam's lazy per-grad state."""
+    import jax.numpy as jnp
+    import optax
+    from audio_motion_avatar_tpu.training.train_state import (
+        OptimConfig, TrainState, make_optimizer, merge_frozen, split_frozen)
+
+    params = {"sapiens_encoder": {"w": jnp.ones((4, 4))},
+              "renderer": {"w": jnp.ones((2, 2))}}
+    tx = make_optimizer(OptimConfig(nan_guard=False, accumulate_steps=1))
+    state = TrainState.create(params, tx)
+
+    import jax
+    leaves_paths = jax.tree_util.tree_leaves_with_path(state.opt_state)
+    assert not any("sapiens_encoder" in str(p) for p, _ in leaves_paths)
+    assert any("renderer" in str(p) for p, _ in leaves_paths)
+
+    # an update touches only the trainable subtree; frozen stays bitwise
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    new = state.apply_gradients(grads)
+    assert (new.params["sapiens_encoder"]["w"] ==
+            params["sapiens_encoder"]["w"]).all()
+    assert not (new.params["renderer"]["w"] == params["renderer"]["w"]).all()
+
+    t, f = split_frozen(params)
+    assert "sapiens_encoder" in f and "renderer" in t
+    back = merge_frozen(t, f)
+    assert jax.tree_util.tree_structure(back) == \
+        jax.tree_util.tree_structure(params)
