@@ -92,6 +92,7 @@ class TriplaneGaussianAvatar(nn.Module):
             image_width=c.image_size[1],
             flat_hand_mean=c.flat_hand_mean,
             max_per_tile=c.max_per_tile,
+            splat_segmented=c.splat_segmented,
             point_refiner=self.point_refiner,
             compute_dtype=cdt,
             frames_per_chunk=c.frames_per_chunk,

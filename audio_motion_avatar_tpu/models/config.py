@@ -40,6 +40,10 @@ class AvatarConfig:
     rgb: bool = True
     sh_degree: int = 0  # SH degree for the rgb=False view-dependent branch
     max_per_tile: int = 512
+    # serving-only splat fast path: value-carrying-sort binning + the
+    # segment-DMA Pallas composite (forward-only, no VJP — training keeps
+    # the gather-packed composite_tiles with its custom backward kernel)
+    splat_segmented: bool = False
     # sparse-tile final upsample level (TPU redesign, see models/upsampler):
     # evaluate the 512^2 conv level only on body-covered 16px tiles
     upsampler_sparse: bool = False

@@ -80,6 +80,7 @@ class Renderer(nn.Module):
     point_refiner: Optional[Any] = None   # module: (points, feats) -> (B,N,256)
     compute_dtype: Optional[Any] = None   # bf16 for the conv upsampler only
     splat_mode: str = "pallas"            # 'pallas' | 'tiles' | 'naive'
+    splat_segmented: bool = False         # serving-only fwd path (no VJP)
     splat_max_window: int = 4             # sorted-binning tile window
     frames_per_chunk: int = 1             # frames per scan step (memory vs MXU)
     rgb: bool = True                      # renderer.yaml:22; False -> SH colors
@@ -201,21 +202,42 @@ class Renderer(nn.Module):
             if mode == "pallas" and jax.default_backend() != "tpu":
                 mode = "tiles"  # Mosaic kernels only lower on TPU
             sh_deg = None if self.rgb else self.sh_degree
-            # NOTE: a batched-binning path exists (splat_pallas.
-            # render_frames_pallas, parity-tested) but measured 47 ms/rollout
-            # SLOWER at full scale — XLA's batched (F, N*W^2) sort lowers
-            # worse than F serial sorts. Keeping the unrolled form.
-            imgs = []
-            for f in range(F):
-                imgs.append(splat.render_one(
-                    gaussians["xyz"][f], gaussians["rot"][f],
-                    gaussians["scale"][f], gaussians["opacity"][f, :, 0],
-                    gaussians["color"][f],
-                    K[f], E[f], self.image_width, self.image_height,
+            if mode == "pallas" and self.splat_segmented:
+                # Serving fast path: value-carrying-sort binning (no flat
+                # s32 index gathers — those lower at <1 GB/s, ~14 ms/frame
+                # measured) + one segment-DMA composite grid. FORWARD-ONLY.
+                from ..ops import splat_pallas
+                img = splat_pallas.render_frames_segmented(
+                    gaussians["xyz"], gaussians["rot"], gaussians["scale"],
+                    gaussians["opacity"][:, :, 0], gaussians["color"],
+                    K, E, self.image_width, self.image_height,
                     max_per_tile=self.max_per_tile,
-                    mode=mode, max_window=self.splat_max_window,
-                    sh_degree=sh_deg))
-            img = jnp.stack(imgs)
+                    max_window=self.splat_max_window, sh_degree=sh_deg)
+            elif mode == "pallas":
+                # F frames' tiles composited as ONE Pallas grid (one kernel
+                # launch); binning stays F independent sorts
+                # (batched_binning=False — the batched (F, N*W^2) sort
+                # measured 47 ms/rollout SLOWER at full scale).
+                from ..ops import splat_pallas
+                img = splat_pallas.render_frames_pallas(
+                    gaussians["xyz"], gaussians["rot"], gaussians["scale"],
+                    gaussians["opacity"][:, :, 0], gaussians["color"],
+                    K, E, self.image_width, self.image_height,
+                    max_per_tile=self.max_per_tile,
+                    max_window=self.splat_max_window, sh_degree=sh_deg,
+                    batched_binning=False)
+            else:
+                imgs = []
+                for f in range(F):
+                    imgs.append(splat.render_one(
+                        gaussians["xyz"][f], gaussians["rot"][f],
+                        gaussians["scale"][f], gaussians["opacity"][f, :, 0],
+                        gaussians["color"][f],
+                        K[f], E[f], self.image_width, self.image_height,
+                        max_per_tile=self.max_per_tile,
+                        mode=mode, max_window=self.splat_max_window,
+                        sh_degree=sh_deg))
+                img = jnp.stack(imgs)
         else:
             img = jnp.zeros((F, self.image_height, self.image_width, 3))
         return gaussians, img

@@ -47,8 +47,9 @@ def _tile_kernel(tx_ref, mx, my, cxx, cxy, cyy, op, cr, cg, cb, out_ref):
 
     mx..cb are (1, K) row values already loaded from VMEM.
     """
-    tid = pl.program_id(0)
-    tx = tx_ref[0]  # tiles per row (scalar prefetch)
+    tx = tx_ref[0]   # tiles per row (scalar prefetch)
+    ntpf = tx_ref[1]  # tiles per frame: multi-frame grids stack frames
+    tid = pl.program_id(0) % ntpf
     txi = (tid % tx).astype(jnp.float32)
     tyi = (tid // tx).astype(jnp.float32)
 
@@ -84,9 +85,15 @@ def _tile_kernel(tx_ref, mx, my, cxx, cxy, cyy, op, cr, cg, cb, out_ref):
     out_ref[0] = jnp.clip(out, 0.0, 1.0)
 
 
-def _composite_tiles_pallas(tile_params: jnp.ndarray, tx: int) -> jnp.ndarray:
-    """tile_params: (T, 9, K) packed [mx,my,cxx,cxy,cyy,op,r,g,b] -> (T, P, 3)."""
+def _composite_tiles_pallas(tile_params: jnp.ndarray, tx: int,
+                            tiles_per_frame: int = 0) -> jnp.ndarray:
+    """tile_params: (T, 9, K) packed [mx,my,cxx,cxy,cyy,op,r,g,b] -> (T, P, 3).
+
+    tiles_per_frame > 0: T is F stacked frames of that many tiles (same
+    resolution); tile origins repeat per frame. One grid — one kernel
+    launch for the whole frame batch."""
     n_tiles, _, K = tile_params.shape
+    ntpf = tiles_per_frame or n_tiles
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -107,7 +114,7 @@ def _composite_tiles_pallas(tile_params: jnp.ndarray, tx: int) -> jnp.ndarray:
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles, P, 3), jnp.float32),
-    )(jnp.asarray([tx], jnp.int32), tile_params)
+    )(jnp.asarray([tx, ntpf], jnp.int32), tile_params)
 
 
 def _composite_tiles_xla(tile_params: jnp.ndarray, tile_origin: jnp.ndarray) -> jnp.ndarray:
@@ -151,8 +158,9 @@ def _tile_bwd_kernel(tx_ref, data_ref, g_ref, out_ref):
     with G = g_clip @ colors^T and gT = sum_c g_clip (white bg). The suffix
     sum is a strictly-lower-triangular matmul on the MXU.
     """
-    tid = pl.program_id(0)
     tx = tx_ref[0]
+    ntpf = tx_ref[1]
+    tid = pl.program_id(0) % ntpf
     txi = (tid % tx).astype(jnp.float32)
     tyi = (tid // tx).astype(jnp.float32)
 
@@ -222,9 +230,11 @@ def _tile_bwd_kernel(tx_ref, data_ref, g_ref, out_ref):
 
 
 def _composite_tiles_bwd_pallas(tile_params: jnp.ndarray, g: jnp.ndarray,
-                                tx: int) -> jnp.ndarray:
+                                tx: int,
+                                tiles_per_frame: int = 0) -> jnp.ndarray:
     """tile_params (T, 9, K), g (T, P, 3) -> d tile_params (T, 9, K)."""
     n_tiles, _, K = tile_params.shape
+    ntpf = tiles_per_frame or n_tiles
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -242,7 +252,7 @@ def _composite_tiles_bwd_pallas(tile_params: jnp.ndarray, g: jnp.ndarray,
         _tile_bwd_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles, 9, K), jnp.float32),
-    )(jnp.asarray([tx], jnp.int32), tile_params, g)
+    )(jnp.asarray([tx, ntpf], jnp.int32), tile_params, g)
 
 
 def _composite_tiles_bwd_xla(tile_params: jnp.ndarray, tile_origin: jnp.ndarray,
@@ -253,23 +263,236 @@ def _composite_tiles_bwd_xla(tile_params: jnp.ndarray, tile_origin: jnp.ndarray,
     return dp
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2,))
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def composite_tiles(tile_params: jnp.ndarray, tile_origin: jnp.ndarray,
-                    tx: int) -> jnp.ndarray:
-    return _composite_tiles_pallas(tile_params, tx)
+                    tx: int, tiles_per_frame: int = 0) -> jnp.ndarray:
+    return _composite_tiles_pallas(tile_params, tx, tiles_per_frame)
 
 
-def _ct_fwd(tile_params, tile_origin, tx):
-    return _composite_tiles_pallas(tile_params, tx), (tile_params, tile_origin)
+def _ct_fwd(tile_params, tile_origin, tx, tiles_per_frame):
+    return (_composite_tiles_pallas(tile_params, tx, tiles_per_frame),
+            (tile_params, tile_origin))
 
 
-def _ct_bwd(tx, res, g):
+def _ct_bwd(tx, tiles_per_frame, res, g):
     tile_params, tile_origin = res
-    dp = _composite_tiles_bwd_pallas(tile_params, g, tx)
+    dp = _composite_tiles_bwd_pallas(tile_params, g, tx, tiles_per_frame)
     return dp, jnp.zeros_like(tile_origin)
 
 
 composite_tiles.defvjp(_ct_fwd, _ct_bwd)
+
+
+def _pack_sorted_params(proj: splat.Projected, width: int, height: int,
+                        max_per_tile: int, max_window: int):
+    """Sort-carrying-values binning for the segment-DMA composite.
+
+    The (tile, depth-rank) pair keys are sorted ONCE with the 9 packed
+    gaussian params carried as sort VALUES (lax.sort variadic) — no
+    argsort-index gathers, no (T, K) index gather, no (T, 9, K) take.
+    Measured on v5e (tools/gather_probe.py): the flat s32 gathers those
+    steps lower to run at <1 GB/s and cost ~14 ms/frame at serving scale;
+    the value-carrying sort costs ~4 ms.
+
+    Returns (params_sorted (9, NP + K) f32 — padded so a K-slice starting
+    at any segment start never reads out of bounds, starts (T,) s32,
+    counts (T,) s32 clamped to K).
+    """
+    tx = width // TILE
+    ty = height // TILE
+    n_tiles = tx * ty
+    n = proj.mean2d.shape[0]
+    K = min(max_per_tile, n)
+    W = max_window
+
+    order = jnp.argsort(proj.depth)
+    mean2d = proj.mean2d[order]
+    conic = proj.conic[order]
+    color = proj.color[order]
+    radius = jnp.where(proj.valid[order], proj.radius[order], 0.0)
+    opac = jnp.where(proj.valid[order], proj.opacity[order], 0.0)
+
+    x0r = jnp.floor((mean2d[:, 0] - radius) / TILE)
+    x1r = jnp.floor((mean2d[:, 0] + radius) / TILE)
+    y0r = jnp.floor((mean2d[:, 1] - radius) / TILE)
+    y1r = jnp.floor((mean2d[:, 1] + radius) / TILE)
+    alive = (radius > 0) & (x1r >= 0) & (x0r <= tx - 1) & (y1r >= 0) & \
+        (y0r <= ty - 1)
+    x0 = jnp.clip(x0r, 0, tx - 1).astype(jnp.int32)
+    x1 = jnp.clip(x1r, 0, tx - 1).astype(jnp.int32)
+    y0 = jnp.clip(y0r, 0, ty - 1).astype(jnp.int32)
+    y1 = jnp.clip(y1r, 0, ty - 1).astype(jnp.int32)
+
+    off = jnp.arange(W, dtype=jnp.int32)
+    gx = x0[:, None] + off[None, :]
+    gy = y0[:, None] + off[None, :]
+    vx = (gx <= x1[:, None]) & (gx < tx)
+    vy = (gy <= y1[:, None]) & (gy < ty)
+    tile_id = gy[:, :, None] * tx + gx[:, None, :]          # (N, W, W)
+    valid = vy[:, :, None] & vx[:, None, :] & alive[:, None, None]
+
+    rank = jnp.arange(n, dtype=jnp.int32)
+    rank_bits = max(1, (n - 1).bit_length())
+    assert (n_tiles + 1) << rank_bits <= 2 ** 31 - 1, (n_tiles, rank_bits)
+    key = jnp.where(valid,
+                    (tile_id << rank_bits) | rank[:, None, None],
+                    jnp.int32(n_tiles << rank_bits)).reshape(-1)
+
+    NP = n * W * W
+
+    def rep(v):
+        return jnp.broadcast_to(v[:, None], (n, W * W)).reshape(-1)
+
+    payload = [rep(mean2d[:, 0]), rep(mean2d[:, 1]),
+               rep(conic[:, 0]), rep(conic[:, 1]), rep(conic[:, 2]),
+               rep(opac),
+               rep(color[:, 0]), rep(color[:, 1]), rep(color[:, 2])]
+    sorted_all = jax.lax.sort((key,) + tuple(payload), num_keys=1)
+    keys_sorted = sorted_all[0]
+    params_sorted = jnp.stack(sorted_all[1:], axis=0)       # (9, NP)
+    # K-slice guard padding (opacity irrelevant: counts mask those slots)
+    params_sorted = jnp.pad(params_sorted, ((0, 0), (0, K)))
+
+    tids = jnp.arange(n_tiles, dtype=jnp.int32)
+    starts = jnp.searchsorted(keys_sorted, tids << rank_bits,
+                              side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(keys_sorted, (tids + 1) << rank_bits,
+                            side="left").astype(jnp.int32)
+    counts = jnp.minimum(ends - starts, K).astype(jnp.int32)
+    starts = jnp.minimum(starts, NP)
+    return params_sorted, starts, counts
+
+
+def _seg_kernel(starts_ref, counts_ref, tx_ref, params_hbm, out_ref,
+                scratch, sem):
+    """Segment-DMA tile composite: program t DMAs its contiguous sorted
+    K-segment [(9, starts[t]:starts[t]+K)] from HBM and blends it.
+
+    The segment layout IS the CUDA rasterizer's design (sorted key ranges
+    per tile, renderer.py:516-566) — here the range read is one strided 2D
+    DMA instead of a warp loop."""
+    t = pl.program_id(0)
+    tx = tx_ref[0]
+    ntpf = tx_ref[1]
+    start = starts_ref[t]
+    count = counts_ref[t]
+
+    cp = pltpu.make_async_copy(
+        params_hbm.at[:, pl.ds(start, scratch.shape[1])], scratch, sem)
+    cp.start()
+    cp.wait()
+
+    K = scratch.shape[1]
+    slot_ok = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1) < count
+    mx = scratch[0:1, :]
+    my = scratch[1:2, :]
+    cxx = scratch[2:3, :]
+    cxy = scratch[3:4, :]
+    cyy = scratch[4:5, :]
+    op = jnp.where(slot_ok, scratch[5:6, :], 0.0)
+    cr = scratch[6:7, :]
+    cg = scratch[7:8, :]
+    cb = scratch[8:9, :]
+
+    tid = t % ntpf
+    txi = (tid % tx).astype(jnp.float32)
+    tyi = (tid // tx).astype(jnp.float32)
+    pix = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    px = (pix % TILE).astype(jnp.float32) + txi * TILE
+    py = (pix // TILE).astype(jnp.float32) + tyi * TILE
+
+    dx = px - mx
+    dy = py - my
+    power = -0.5 * (cxx * dx * dx + cyy * dy * dy) - cxy * dx * dy
+    alpha = jnp.minimum(op * jnp.exp(jnp.minimum(power, 0.0)), ALPHA_MAX)
+    alpha = jnp.where((power > 0.0) | (alpha < ALPHA_MIN), 0.0, alpha)
+
+    log1m = jnp.log1p(-alpha)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
+    tri = (rows <= cols).astype(jnp.float32)
+    logT_after = jnp.dot(log1m, tri, preferred_element_type=jnp.float32)
+    logT_before = logT_after - log1m
+    w = alpha * jnp.exp(logT_before)
+    w = jnp.where(jnp.exp(logT_after) < T_EPS, 0.0, w)
+
+    T_final = jnp.exp(logT_after[:, -1:])
+    r = jnp.sum(w * cr, axis=1, keepdims=True) + T_final
+    g = jnp.sum(w * cg, axis=1, keepdims=True) + T_final
+    b = jnp.sum(w * cb, axis=1, keepdims=True) + T_final
+    out = jnp.concatenate([r, g, b], axis=1)
+    out_ref[0] = jnp.clip(out, 0.0, 1.0)
+
+
+def _composite_segments_pallas(params_sorted: jnp.ndarray,
+                               starts: jnp.ndarray, counts: jnp.ndarray,
+                               K: int, tx: int,
+                               tiles_per_frame: int = 0) -> jnp.ndarray:
+    """params_sorted (9, NP+K), starts/counts (T,) -> (T, P, 3).
+
+    FORWARD-ONLY (serving): contains a manual-DMA pallas_call with no VJP —
+    training uses composite_tiles (gather packing + custom VJP)."""
+    n_tiles = starts.shape[0]
+    ntpf = tiles_per_frame or n_tiles
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, P, 3), lambda t, s0, s1, s2: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((9, K), jnp.float32),
+                        pltpu.SemaphoreType.DMA],
+    )
+    return pl.pallas_call(
+        _seg_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, P, 3), jnp.float32),
+    )(starts, counts, jnp.asarray([tx, ntpf], jnp.int32), params_sorted)
+
+
+def render_frames_segmented(xyz: jnp.ndarray, rot: jnp.ndarray,
+                            raw_scales: jnp.ndarray, raw_opacity: jnp.ndarray,
+                            colors: jnp.ndarray, K: jnp.ndarray,
+                            E: jnp.ndarray, width: int, height: int,
+                            max_per_tile: int = 512, max_window: int = 8,
+                            sh_degree=None) -> jnp.ndarray:
+    """Serving fast path: F frames, value-carrying sort binning + ONE
+    segment-DMA composite grid. Identical output to render_frames_pallas;
+    forward-only (no VJP — the training path keeps composite_tiles)."""
+    from .splat import (activate_scales, activate_opacity, make_camera,
+                        project_gaussians, sh_colors)
+    assert width % TILE == 0 and height % TILE == 0
+    tx = width // TILE
+    ty = height // TILE
+    n_tiles = tx * ty
+    F = xyz.shape[0]
+    N = xyz.shape[1]
+    Kcap = min(max_per_tile, N)
+
+    params_l, starts_l, counts_l = [], [], []
+    for f in range(F):
+        cam = make_camera(K[f], E[f], width, height)
+        if sh_degree is not None:
+            rgb = sh_colors(colors[f], xyz[f], cam.center, sh_degree)
+        else:
+            rgb = jnp.clip(colors[f], 0.0, 1.0)
+        o = raw_opacity[f]
+        o1 = o.squeeze(-1) if o.ndim == 2 else o
+        proj = project_gaussians(xyz[f], rot[f], activate_scales(raw_scales[f]),
+                                 activate_opacity(o1), rgb, cam)
+        p, s, c = _pack_sorted_params(proj, width, height, Kcap, max_window)
+        params_l.append(p)
+        starts_l.append(s + f * p.shape[1])
+        counts_l.append(c)
+    params = jnp.concatenate(params_l, axis=1)     # (9, F*(NP+K))
+    starts = jnp.concatenate(starts_l)
+    counts = jnp.concatenate(counts_l)
+    tiles = _composite_segments_pallas(params, starts, counts, Kcap, tx,
+                                       tiles_per_frame=n_tiles)
+    tiles = tiles.reshape(F, n_tiles, P, 3)
+    return jnp.stack([_tiles_to_image(tiles[f], tx, ty, width, height)
+                      for f in range(F)])
 
 
 def _pack_tile_params(proj: splat.Projected, width: int, height: int,
@@ -340,21 +563,28 @@ def render_frames_pallas(xyz: jnp.ndarray, rot: jnp.ndarray,
                          colors: jnp.ndarray, K: jnp.ndarray, E: jnp.ndarray,
                          width: int, height: int, max_per_tile: int = 512,
                          max_window: int = 8, sh_degree=None,
-                         interpret: bool = False) -> jnp.ndarray:
+                         interpret: bool = False,
+                         batched_binning: bool = True) -> jnp.ndarray:
     """Batched multi-frame fast path: (F, N, ...) gaussians + (F, ...) cams
     -> (F, H, W, 3).
 
-    Same semantics as F calls to splat.render_one(mode='pallas'), but
-    projection + tile binning run ONCE under vmap — the binner's ~N*W^2-key
-    pair sort (the dominant non-MXU cost of the splat at 30k gaussians) is
-    a single batched sort instead of F serial sorts. Only the Pallas
-    composite (not vmappable) unrolls per frame.
+    Same semantics as F calls to splat.render_one(mode='pallas'), but the
+    Pallas composite runs as ONE grid over all F frames' tiles (tile
+    origins repeat every tx*ty programs) — one kernel launch instead of F.
+
+    batched_binning=True additionally vmaps projection + binning across
+    frames, turning the binner's ~N*W^2-key pair sort into a single batched
+    sort. Measured SLOWER at full serving scale (XLA lowers the batched
+    (F, N*W^2) sort worse than F independent sorts — +47 ms/rollout);
+    batched_binning=False keeps F independent sorts, which XLA schedules
+    concurrently, and only fuses the composite grid.
     """
     from .splat import (activate_scales, activate_opacity, make_camera,
                         project_gaussians, sh_colors)
     assert width % TILE == 0 and height % TILE == 0
     tx = width // TILE
     ty = height // TILE
+    n_tiles = tx * ty
 
     def prep(x, r, s, o, c, k, e):
         cam = make_camera(k, e, width, height)
@@ -368,14 +598,24 @@ def render_frames_pallas(xyz: jnp.ndarray, rot: jnp.ndarray,
         return _pack_tile_params(proj, width, height, max_per_tile,
                                  max_window)
 
-    tile_params = jax.vmap(prep)(xyz, rot, raw_scales, raw_opacity, colors,
-                                 K, E)  # (F, T, 9, K)
+    F = xyz.shape[0]
+    if batched_binning:
+        tile_params = jax.vmap(prep)(xyz, rot, raw_scales, raw_opacity,
+                                     colors, K, E)  # (F, T, 9, K)
+    else:
+        tile_params = jnp.stack([
+            prep(xyz[f], rot[f], raw_scales[f], raw_opacity[f], colors[f],
+                 K[f], E[f]) for f in range(F)])
     origins = _tile_origins(tx, ty)
-    imgs = []
-    for f in range(tile_params.shape[0]):
-        if interpret:
+    if interpret:
+        imgs = []
+        for f in range(F):
             tiles = _composite_tiles_xla(tile_params[f], origins)
-        else:
-            tiles = composite_tiles(tile_params[f], origins, tx)
-        imgs.append(_tiles_to_image(tiles, tx, ty, width, height))
-    return jnp.stack(imgs)
+            imgs.append(_tiles_to_image(tiles, tx, ty, width, height))
+        return jnp.stack(imgs)
+    Kp = tile_params.shape[-1]
+    tiles = composite_tiles(tile_params.reshape(F * n_tiles, 9, Kp),
+                            origins, tx, n_tiles)      # (F*T, P, 3)
+    tiles = tiles.reshape(F, n_tiles, P, 3)
+    return jnp.stack([_tiles_to_image(tiles[f], tx, ty, width, height)
+                      for f in range(F)])

@@ -167,3 +167,22 @@ def test_render_frames_pallas_matches_render_one():
             xyz[f], rot[f], s[f], o[f], c[f], K[f], E[f], W, H,
             max_per_tile=64, mode="tiles", max_window=4))
         np.testing.assert_allclose(batched[f], one, atol=2e-5)
+
+    # The single-grid multi-frame KERNEL (tile origins repeat every
+    # tiles-per-frame programs via the ntpf scalar) — pallas interpret mode,
+    # both binning modes (vmapped batched sort / F serial sorts).
+    from jax.experimental.pallas import tpu as pltpu
+    with pltpu.force_tpu_interpret_mode():
+        for bb in (True, False):
+            multi = np.asarray(splat_pallas.render_frames_pallas(
+                xyz, rot, s, o, c, K, E, W, H, max_per_tile=64,
+                max_window=4, batched_binning=bb))
+            np.testing.assert_allclose(multi, batched, atol=2e-5,
+                                       err_msg=f"batched_binning={bb}")
+
+    # Serving fast path: value-carrying-sort binning + segment-DMA
+    # composite must reproduce the gather-packed result exactly.
+    with pltpu.force_tpu_interpret_mode():
+        seg = np.asarray(splat_pallas.render_frames_segmented(
+            xyz, rot, s, o, c, K, E, W, H, max_per_tile=64, max_window=4))
+    np.testing.assert_allclose(seg, batched, atol=2e-5)
