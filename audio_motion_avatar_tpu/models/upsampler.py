@@ -135,15 +135,29 @@ def select_tiles(points_uv: jnp.ndarray, grid: int, cap: int,
 def _gather_patches(x: jnp.ndarray, tile_ids: jnp.ndarray, grid: int,
                     in_tile: int, halo: int) -> jnp.ndarray:
     """Gather (cap, in_tile+2*halo, in_tile+2*halo, C) patches from
-    (H, W, C), zero-padded at the borders."""
+    (H, W, C), zero-padded at the borders.
+
+    Row-SEGMENT gather (slice sizes (1, P, C)): each gathered element is a
+    contiguous P*C row strip, not a single pixel row — the per-pixel
+    advanced-index form lowers to 512B row gathers that pay the (8,128)
+    tiling's 8x sublane amplification (measured 2.3x slower,
+    tools/gather_probe.py D1 vs D2)."""
     cap = tile_ids.shape[0]
     P = in_tile + 2 * halo
+    C = x.shape[-1]
     xp = jnp.pad(x, ((halo, halo), (halo, halo), (0, 0)))
     r0 = (tile_ids // grid) * in_tile          # top row in x coords
     c0 = (tile_ids % grid) * in_tile
-    rows = r0[:, None] + jnp.arange(P)         # (cap, P) in padded coords
-    cols = c0[:, None] + jnp.arange(P)
-    return xp[rows[:, :, None], cols[:, None, :], :]  # (cap, P, P, C)
+    rows = (r0[:, None] + jnp.arange(P)).reshape(-1)       # (cap*P,)
+    cstart = jnp.repeat(c0, P)
+    st = jnp.stack([rows, cstart], axis=-1)                # (cap*P, 2)
+    out = jax.lax.gather(
+        xp, st,
+        jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2), collapsed_slice_dims=(0,),
+            start_index_map=(0, 1)),
+        slice_sizes=(1, P, C), mode="clip")                # (cap*P, P, C)
+    return out.reshape(cap, P, P, C)
 
 
 def _masked_group_stats(x: jnp.ndarray, valid: jnp.ndarray, groups: int):
