@@ -129,20 +129,29 @@ class PTv3Encoder(nn.Module):
         x = nn.Dense(self.enc_channels[0], dtype=self.dtype, name="embed")(x)
 
         def run_blocks(x, mask, stage, depths, heads, dim, prefix):
+            # Composed reorders: features stay in the PREVIOUS block's curve
+            # order and hop directly to the next order via one gather with
+            # the composed permutation inv_cur[perm_next] — the
+            # unsort-then-resort form costs 2 feature gathers per block
+            # (depth+1 vs 2*depth; the (N, C) row gathers are a measured
+            # slice of serving time, tools/gather_probe.py).
+            cur_perm = cur_inv = None  # None == storage order
             for b in range(depths):
                 o = ser.ORDERS[b % len(ser.ORDERS)]
                 perm, inv = stage_orders[o]
-                if perm is None:  # identity order (pooled z-curve stages)
-                    x = SerialBlock(dim, heads, self.patch_size,
-                                    dtype=self.dtype,
-                                    name=f"{prefix}_b{b}")(x, mask)
-                else:
-                    xs = x[perm]
-                    ms = mask[perm]
-                    xs = SerialBlock(dim, heads, self.patch_size,
-                                     dtype=self.dtype,
-                                     name=f"{prefix}_b{b}")(xs, ms)
-                    x = xs[inv]
+                if cur_perm is None and perm is not None:
+                    x = x[perm]
+                elif cur_perm is not None and perm is None:
+                    x = x[cur_inv]
+                elif cur_perm is not None and perm is not None:
+                    x = x[cur_inv[perm]]
+                cur_perm, cur_inv = perm, inv
+                m = mask if cur_perm is None else mask[cur_perm]
+                x = SerialBlock(dim, heads, self.patch_size,
+                                dtype=self.dtype,
+                                name=f"{prefix}_b{b}")(x, m)
+            if cur_perm is not None:
+                x = x[cur_inv]
             return x
 
         # ---- encoder ----
