@@ -75,6 +75,39 @@ def flash_attn(block_q, block_k, q, k, v):
     return out.transpose(0, 2, 1, 3)[:, :S]
 
 
+def splash_attn(block_q, block_kv, q, k, v):
+    """splash-attention kernel (newer v5e-tuned Pallas MHA)."""
+    from jax.experimental.pallas.ops.tpu.splash_attention import (
+        splash_attention_kernel as sk,
+        splash_attention_mask as sm)
+    B, S, H, D = q.shape
+    BLK = max(block_q, block_kv)
+    Sp = ((S + BLK - 1) // BLK) * BLK
+    pad = Sp - S
+
+    def p(t):
+        return jnp.pad(t, ((0, 0), (0, pad), (0, 0), (0, 0)))
+
+    qh = p(q).transpose(0, 2, 1, 3)  # (B, H, Sp, D)
+    kh = p(k).transpose(0, 2, 1, 3)
+    vh = p(v).transpose(0, 2, 1, 3)
+    seg = jnp.where(jnp.arange(Sp) < S, 1, 2).astype(jnp.int32)
+    seg = jnp.broadcast_to(seg[None], (B, Sp))
+    mask = sm.MultiHeadMask(
+        [sm.FullMask((Sp, Sp)) for _ in range(H)])
+    bs = sk.BlockSizes(block_q=block_q, block_kv=block_kv,
+                       block_kv_compute=block_kv)
+    kernel = sk.make_splash_mha(mask=mask, head_shards=1, q_seq_shards=1,
+                                block_sizes=bs)
+    scale = D ** -0.5
+
+    def one(qb, kb, vb, sb):
+        return kernel(qb * scale, kb, vb,
+                      segment_ids=sk.SegmentIds(q=sb, kv=sb))
+    out = jax.vmap(one)(qh, kh, vh, seg)
+    return out.transpose(0, 2, 1, 3)[:, :S]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=1)
@@ -100,6 +133,18 @@ def main():
             name = f"flash_q{bq}_k{bk}"
             try:
                 ms = time_fn(functools.partial(flash_attn, bq, bk),
+                             q, k, v, a.iters)
+                results[name] = ms
+                print(json.dumps({"impl": name, "ms": round(ms, 3)}), flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(json.dumps({"impl": name, "error": str(e)[:120]}),
+                      flush=True)
+
+    for bq in (512, 1024, 2048):
+        for bk in (512, 1024, 2048):
+            name = f"splash_q{bq}_k{bk}"
+            try:
+                ms = time_fn(functools.partial(splash_attn, bq, bk),
                              q, k, v, a.iters)
                 results[name] = ms
                 print(json.dumps({"impl": name, "ms": round(ms, 3)}), flush=True)

@@ -36,7 +36,8 @@ import numpy as np
 
 def build(batch: int, frames_per_chunk: int, ablate: str = "none",
           image_size=(512, 512), sparse: bool = False,
-          sparse_cap: int = 384, sparse_tile: int = 16):
+          sparse_cap: int = 384, sparse_tile: int = 16,
+          splat_segmented: bool = True):
     import dataclasses
     import jax
     import jax.numpy as jnp
@@ -57,7 +58,8 @@ def build(batch: int, frames_per_chunk: int, ablate: str = "none",
         no_point_refiner=(ablate == "refiner"),
         upsampler_sparse=sparse,
         upsampler_sparse_max_tiles=sparse_cap,
-        upsampler_sparse_tile_px=sparse_tile)
+        upsampler_sparse_tile_px=sparse_tile,
+        splat_segmented=splat_segmented)
     smplx_model = smplx_ops.synthetic_model(seed=0)
     statics = build_renderer_statics(smplx_model,
                                      subdivide_steps=cfg.subdivide_steps,
@@ -129,10 +131,12 @@ def build(batch: int, frames_per_chunk: int, ablate: str = "none",
 
 
 def run(batch=2, frames_per_chunk=6, ablate="none", reps=5,
-        image_size=(512, 512), sparse=False, sparse_cap=384, sparse_tile=16):
+        image_size=(512, 512), sparse=False, sparse_cap=384, sparse_tile=16,
+        splat_segmented=True):
     rollout, params, args_, (B, T_out) = build(batch, frames_per_chunk,
                                                ablate, image_size, sparse,
-                                               sparse_cap, sparse_tile)
+                                               sparse_cap, sparse_tile,
+                                               splat_segmented)
     tri, smpl, aud, cam = args_
 
     def fence(out):
@@ -167,10 +171,12 @@ def main():
                     help="tile-sparse final upsample level")
     ap.add_argument("--sparse-cap", type=int, default=384)
     ap.add_argument("--sparse-tile", type=int, default=16)
+    ap.add_argument("--no-splat-segmented", action="store_true")
     a = ap.parse_args()
     res = run(a.batch, a.frames_per_chunk, a.ablate, a.reps,
               tuple(a.image_size), sparse=a.sparse, sparse_cap=a.sparse_cap,
-              sparse_tile=a.sparse_tile)
+              sparse_tile=a.sparse_tile,
+              splat_segmented=not a.no_splat_segmented)
     print(json.dumps({k: (round(v, 2) if isinstance(v, float) else v)
                       for k, v in res.items()}))
 

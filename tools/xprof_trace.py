@@ -1,0 +1,143 @@
+"""Trace the exact serving rollout on TPU and print per-HLO-op time.
+
+Builds the same jitted program as tools/serve_bench.py, captures a
+jax.profiler trace of a few steady-state reps, then converts the xplane
+with the tensorboard profile plugin (hlo_stats) and prints the top ops by
+self time — the attribution that drives the e2e optimization work.
+
+Usage:
+  python tools/xprof_trace.py [--batch 2] [--sparse] [--sparse-cap 256]
+      [--top 50] [--out /tmp/ama_trace]
+"""
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+
+
+def capture(out_dir, batch, frames, sparse, cap, tile, reps=3):
+    import jax
+    from serve_bench import build
+    rollout, params, args_, _ = build(batch, frames, "none", (512, 512),
+                                      sparse, cap, tile)
+    tri, smpl, aud, cam = args_
+
+    def fence(out):
+        return float(out[0].mean())
+
+    print("[xprof] compiling...", flush=True)
+    fence(rollout(params, tri, smpl, aud, cam))
+    print("[xprof] tracing...", flush=True)
+    jax.profiler.start_trace(out_dir)
+    for _ in range(reps):
+        fence(rollout(params, tri, smpl, aud, cam))
+    jax.profiler.stop_trace()
+    print("[xprof] trace done", flush=True)
+
+
+def analyze(out_dir, top):
+    paths = sorted(glob.glob(os.path.join(
+        out_dir, "**", "*.xplane.pb"), recursive=True))
+    if not paths:
+        print("no xplane found under", out_dir)
+        return
+    path = paths[-1]
+    print("[xprof] analyzing", path, flush=True)
+    try:
+        from xprof.convert import raw_to_tool_data
+    except ImportError:
+        from tensorboard_plugin_profile.convert import raw_to_tool_data
+
+    for tool in ("hlo_stats", "framework_op_stats", "op_profile"):
+        try:
+            data, _ = raw_to_tool_data.xspace_to_tool_data(
+                [path], tool, {"tqx": "out:csv;"})
+            fn = os.path.join(out_dir, tool + (
+                ".csv" if isinstance(data, (str, bytes)) and tool != "op_profile"
+                else ".out"))
+            mode = "wb" if isinstance(data, bytes) else "w"
+            with open(fn, mode) as f:
+                f.write(data)
+            print(f"[xprof] wrote {fn}", flush=True)
+        except Exception as e:
+            print(f"[xprof] {tool} failed: {type(e).__name__}: {e}",
+                  flush=True)
+
+    csv_path = os.path.join(out_dir, "hlo_stats.csv")
+    if os.path.exists(csv_path):
+        summarize_hlo_csv(csv_path, top)
+
+
+def summarize_hlo_csv(csv_path, top):
+    import csv as csvmod
+    with open(csv_path) as f:
+        rows = list(csvmod.reader(f))
+    if not rows:
+        return
+    head = rows[0]
+    print("columns:", head)
+
+    def col(*names):
+        for n in names:
+            for i, h in enumerate(head):
+                if n.lower() in h.lower():
+                    return i
+        return None
+
+    i_name = col("hlo_op_expression", "hlo op name", "op_name", "hlo_op_name")
+    i_cat = col("hlo_category", "category")
+    i_self = col("total_self_time_in_us", "self time (us)", "self_time")
+    i_pct = col("self time fraction", "occurrences")
+    if i_self is None:
+        print("could not locate self-time column; raw head:", rows[:3])
+        return
+    items = []
+    for r in rows[1:]:
+        try:
+            items.append((float(r[i_self]),
+                          r[i_cat] if i_cat is not None else "",
+                          (r[i_name] if i_name is not None else "")[:160]))
+        except (ValueError, IndexError):
+            continue
+    items.sort(reverse=True)
+    total = sum(v for v, _, _ in items)
+    print(f"\n== top {top} HLO ops by self time (total {total/1e3:.1f} ms "
+          f"across traced reps) ==")
+    for v, cat, name in items[:top]:
+        print(f"{v/1e3:9.3f} ms {100*v/total:5.1f}%  [{cat}] {name}")
+    agg = {}
+    for v, cat, _ in items:
+        agg[cat] = agg.get(cat, 0.0) + v
+    print("\n== by category ==")
+    for cat, v in sorted(agg.items(), key=lambda kv: -kv[1]):
+        print(f"{v/1e3:9.3f} ms {100*v/total:5.1f}%  {cat}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--frames-per-chunk", type=int, default=6)
+    ap.add_argument("--sparse", action="store_true")
+    ap.add_argument("--sparse-cap", type=int, default=256)
+    ap.add_argument("--sparse-tile", type=int, default=16)
+    ap.add_argument("--top", type=int, default=50)
+    ap.add_argument("--out", default="/tmp/ama_trace")
+    ap.add_argument("--analyze-only", action="store_true")
+    a = ap.parse_args()
+    if not a.analyze_only:
+        os.makedirs(a.out, exist_ok=True)
+        capture(a.out, a.batch, a.frames_per_chunk, a.sparse, a.sparse_cap,
+                a.sparse_tile)
+    analyze(a.out, a.top)
+
+
+if __name__ == "__main__":
+    main()
