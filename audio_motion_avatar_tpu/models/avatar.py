@@ -101,6 +101,7 @@ class TriplaneGaussianAvatar(nn.Module):
             upsampler_sparse=c.upsampler_sparse,
             upsampler_sparse_max_tiles=c.upsampler_sparse_max_tiles,
             upsampler_sparse_tile_px=c.upsampler_sparse_tile_px,
+            upsampler_upconv=c.upsampler_upconv,
             name="renderer")
 
     def __call__(self, statics: RendererStatics, images: jnp.ndarray,

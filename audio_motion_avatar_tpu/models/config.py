@@ -49,6 +49,7 @@ class AvatarConfig:
     upsampler_sparse: bool = False
     upsampler_sparse_max_tiles: int = 384
     upsampler_sparse_tile_px: int = 16
+    upsampler_upconv: str = "poly"  # 'poly' | 'dilated' exact upconv twins
     # sapiens_encoder.yaml
     image_feature_dim: int = 1536
     vit_depth: int = 40

@@ -90,6 +90,7 @@ class Renderer(nn.Module):
     upsampler_sparse: bool = False
     upsampler_sparse_max_tiles: int = 384
     upsampler_sparse_tile_px: int = 16
+    upsampler_upconv: str = "poly"        # 'poly' | 'dilated' (exact twins)
 
     def setup(self):
         if self.upsample_triplane:
@@ -101,6 +102,7 @@ class Renderer(nn.Module):
                 sparse_final=self.upsampler_sparse,
                 sparse_max_tiles=self.upsampler_sparse_max_tiles,
                 sparse_tile_px=self.upsampler_sparse_tile_px,
+                upconv=self.upsampler_upconv,
                 name="upsampler")
         if self.point_refiner is not None:
             self.refine_mlp = nn.Sequential([

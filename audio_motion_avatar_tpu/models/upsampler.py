@@ -99,6 +99,33 @@ def _upsample2x_conv3x3(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
     return y + b
 
 
+def _upsample2x_conv3x3_dilated(x: jnp.ndarray, w: jnp.ndarray,
+                                b: jnp.ndarray, dtype=None) -> jnp.ndarray:
+    """conv3x3(SAME)(nearest2x(x)) as ONE input-dilated conv.
+
+    The 4x4 kernel K4 = T w T^T (T = [[1,0,0],[1,1,0],[0,1,1],[0,0,1]])
+    reproduces the polyphase phase sums exactly (unit-verified); the
+    lhs_dilation=2 conv puts the depth-to-space interleave INSIDE the conv
+    op instead of materializing 4 phase tensors + a 6D stack/reshape
+    (xprof: those layout passes cost ~20 ms/rollout at the sparse patch
+    scale). x: (B, H, W, C) -> (B, 2H, 2W, Co)."""
+    import jax.lax as lax
+    if dtype is not None:
+        x = x.astype(dtype)
+        w = w.astype(dtype)
+        b = b.astype(dtype)
+    T4 = jnp.asarray([[1., 0, 0], [1, 1, 0], [0, 1, 1], [0, 0, 1]], w.dtype)
+    K4 = jnp.einsum("ur,vs,rsio->uvio", T4, T4, w)
+    y = lax.conv_general_dilated(
+        x, K4, (1, 1), padding=((2, 2), (2, 2)), lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + b
+
+
+UPCONV_IMPLS = {"poly": _upsample2x_conv3x3,
+                "dilated": _upsample2x_conv3x3_dilated}
+
+
 def select_tiles(points_uv: jnp.ndarray, grid: int, cap: int,
                  tile_px: int = 16):
     """Covered-tile selection for one plane: (N, 2) uv in [-1, 1] ->
@@ -273,6 +300,7 @@ class ResBlock(nn.Module):
 class UpsampleBlock(nn.Module):
     out_channels: int
     dtype: Optional[jnp.dtype] = None
+    upconv: str = "poly"   # 'poly' | 'dilated' (identical math, see impls)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
@@ -285,21 +313,23 @@ class UpsampleBlock(nn.Module):
         the dense polyphase restricted to the window).
         """
         C = x.shape[-1]
-        # nearest2x -> conv3x3 computed as the exact fused polyphase form;
-        # the parameter stays the canonical (3,3,C,Co) kernel.
+        # nearest2x -> conv3x3 computed as an exact fused form (polyphase
+        # or input-dilated); the parameter stays the canonical (3,3,C,Co)
+        # kernel either way.
+        upconv = UPCONV_IMPLS[self.upconv]
         w = self.param("conv_kernel", nn.initializers.lecun_normal(),
                        (3, 3, C, self.out_channels))
         b = self.param("conv_bias", nn.initializers.zeros,
                        (self.out_channels,))
         if sparse_ctx is None:
-            h = _upsample2x_conv3x3(x, w, b, dtype=self.dtype)
+            h = upconv(x, w, b, dtype=self.dtype)
             h = nn.relu(h)
             return ResBlock(self.out_channels, name="res", dtype=self.dtype)(h)
 
         F, cap, Pin = x.shape[:3]
         T = (Pin - 4) * 2  # tile px at the output res
-        h = _upsample2x_conv3x3(x.reshape((F * cap,) + x.shape[2:]), w, b,
-                                dtype=self.dtype)              # (FC,2Pin,2Pin,C')
+        h = upconv(x.reshape((F * cap,) + x.shape[2:]), w, b,
+                   dtype=self.dtype)                           # (FC,2Pin,2Pin,C')
         h = h[:, 2:2 + T + 4, 2:2 + T + 4].reshape(
             F, cap, T + 4, T + 4, self.out_channels)
         h = nn.relu(h)
@@ -334,6 +364,7 @@ class TriplaneUpsampler(nn.Module):
     sparse_final: bool = False
     sparse_max_tiles: int = 384
     sparse_tile_px: int = 16
+    upconv: str = "poly"   # 'poly' | 'dilated'
 
     @nn.compact
     def __call__(self, planes: jnp.ndarray,
@@ -356,7 +387,7 @@ class TriplaneUpsampler(nn.Module):
         skip = x
         for i in range(n_dense):
             up = UpsampleBlock(self.feature_dim, name=f"up_{i}",
-                               dtype=self.dtype)(x)
+                               dtype=self.dtype, upconv=self.upconv)(x)
             if i == 0:
                 skip = nn.Conv(self.feature_dim, (1, 1), name="skip_proj",
                                dtype=self.dtype)(skip)
@@ -409,7 +440,8 @@ class TriplaneUpsampler(nn.Module):
                         inplane_c1=window_mask(tile_px + 2, 1))
         i = self.num_blocks - 1
         res_tiles = UpsampleBlock(self.feature_dim, name=f"up_{i}",
-                                  dtype=self.dtype)(patches, ctx)
+                                  dtype=self.dtype,
+                                  upconv=self.upconv)(patches, ctx)
 
         skip_patches = jax.vmap(
             lambda s, t: _gather_patches(s, t, grid, in_tile, 0))(

@@ -294,9 +294,9 @@ def _pack_sorted_params(proj: splat.Projected, width: int, height: int,
     steps lower to run at <1 GB/s and cost ~14 ms/frame at serving scale;
     the value-carrying sort costs ~4 ms.
 
-    Returns (params_sorted (9, NP + K) f32 — padded so a K-slice starting
-    at any segment start never reads out of bounds, starts (T,) s32,
-    counts (T,) s32 clamped to K).
+    Returns (params_sorted (16, NP + K) f32 — 9 param rows padded to the
+    sublane tile and a K-column guard so a K-slice starting at any segment
+    start stays in bounds, starts (T,) s32, counts (T,) s32 clamped to K).
     """
     tx = width // TILE
     ty = height // TILE
@@ -350,8 +350,10 @@ def _pack_sorted_params(proj: splat.Projected, width: int, height: int,
     sorted_all = jax.lax.sort((key,) + tuple(payload), num_keys=1)
     keys_sorted = sorted_all[0]
     params_sorted = jnp.stack(sorted_all[1:], axis=0)       # (9, NP)
-    # K-slice guard padding (opacity irrelevant: counts mask those slots)
-    params_sorted = jnp.pad(params_sorted, ((0, 0), (0, K)))
+    # pad rows 9 -> 16 (Mosaic DMA slices must align to the (8,128) sublane
+    # tiling) and columns +K+128 (the kernel DMAs a 128-aligned window of
+    # K+128 columns; counts/offsets mask the out-of-segment slots)
+    params_sorted = jnp.pad(params_sorted, ((0, 16 - 9), (0, K + 128)))
 
     tids = jnp.arange(n_tiles, dtype=jnp.int32)
     starts = jnp.searchsorted(keys_sorted, tids << rank_bits,
@@ -370,20 +372,26 @@ def _seg_kernel(starts_ref, counts_ref, tx_ref, params_hbm, out_ref,
 
     The segment layout IS the CUDA rasterizer's design (sorted key ranges
     per tile, renderer.py:516-566) — here the range read is one strided 2D
-    DMA instead of a warp loop."""
+    DMA instead of a warp loop. HBM slice starts must be 128-lane-aligned,
+    so the DMA fetches the aligned K+128 window containing the segment and
+    the in-window offset masks the out-of-segment slots (alpha=0 slots are
+    exact no-ops in the blend)."""
     t = pl.program_id(0)
     tx = tx_ref[0]
     ntpf = tx_ref[1]
     start = starts_ref[t]
     count = counts_ref[t]
+    start_al = (start // 128) * 128
+    off = start - start_al
 
     cp = pltpu.make_async_copy(
-        params_hbm.at[:, pl.ds(start, scratch.shape[1])], scratch, sem)
+        params_hbm.at[:, pl.ds(start_al, scratch.shape[1])], scratch, sem)
     cp.start()
     cp.wait()
 
     K = scratch.shape[1]
-    slot_ok = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1) < count
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+    slot_ok = (col >= off) & (col < off + count)
     mx = scratch[0:1, :]
     my = scratch[1:2, :]
     cxx = scratch[2:3, :]
@@ -428,7 +436,7 @@ def _composite_segments_pallas(params_sorted: jnp.ndarray,
                                starts: jnp.ndarray, counts: jnp.ndarray,
                                K: int, tx: int,
                                tiles_per_frame: int = 0) -> jnp.ndarray:
-    """params_sorted (9, NP+K), starts/counts (T,) -> (T, P, 3).
+    """params_sorted (16, NP+K), starts/counts (T,) -> (T, P, 3).
 
     FORWARD-ONLY (serving): contains a manual-DMA pallas_call with no VJP —
     training uses composite_tiles (gather packing + custom VJP)."""
@@ -441,7 +449,7 @@ def _composite_segments_pallas(params_sorted: jnp.ndarray,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, P, 3), lambda t, s0, s1, s2: (t, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((9, K), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((16, K + 128), jnp.float32),
                         pltpu.SemaphoreType.DMA],
     )
     return pl.pallas_call(

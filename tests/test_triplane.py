@@ -198,3 +198,42 @@ def test_sparse_upsampler_gradients_finite():
     leaves = jax.tree_util.tree_leaves(g_params) + [g_planes]
     assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
     assert float(jnp.abs(g_planes).max()) > 0
+
+
+def test_dilated_upconv_twin_matches_poly():
+    """The 'dilated' upconv impl (input-dilated conv, derived 4x4 kernel)
+    must equal the polyphase impl exactly — same params, dense AND sparse
+    paths (it replaces the phase-interleave layout passes on TPU)."""
+    import jax
+    import jax.numpy as jnp
+    from audio_motion_avatar_tpu.models.upsampler import (
+        TriplaneUpsampler, _upsample2x_conv3x3, _upsample2x_conv3x3_dilated)
+    from audio_motion_avatar_tpu.ops import triplane as T
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 6, 9, 5).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 5, 4).astype(np.float32))
+    b = jnp.asarray(rng.randn(4).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(_upsample2x_conv3x3_dilated(x, w, b)),
+        np.asarray(_upsample2x_conv3x3(x, w, b)), atol=2e-5)
+
+    planes, dense, _, v, res, grid = _sparse_setup(seed=4)
+    dil = TriplaneUpsampler(32, 2, channels_last=True, upconv="dilated")
+    np.testing.assert_allclose(np.asarray(dil.apply(v, planes)),
+                               np.asarray(dense.apply(v, planes)),
+                               atol=3e-5, rtol=1e-4)
+
+    # sparse path with partial coverage
+    sp_poly = TriplaneUpsampler(32, 2, sparse_final=True, sparse_max_tiles=6)
+    sp_dil = TriplaneUpsampler(32, 2, sparse_final=True, sparse_max_tiles=6,
+                               upconv="dilated")
+    pts = jnp.asarray((np.random.RandomState(5).rand(1, 50, 3) * 0.8 - 0.4)
+                      .astype(np.float32))
+    u = jnp.clip(pts / 1.4, -1, 1)
+    uv = jnp.stack([jnp.stack([u[..., a0], u[..., a1]], -1)
+                    for a0, a1 in T.PLANE_AXES], axis=1)
+    a = sp_poly.apply(v, planes, points_uv=uv)
+    d = sp_dil.apply(v, planes, points_uv=uv)
+    np.testing.assert_allclose(np.asarray(d.tiles), np.asarray(a.tiles),
+                               atol=3e-5, rtol=1e-4)

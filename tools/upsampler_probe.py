@@ -115,9 +115,33 @@ def main():
     def upconv_poly(x):
         return _upsample2x_conv3x3(x, w, bias, dtype=jnp.bfloat16)
 
+    # conv3x3(nearest2x(x)) == ONE input-dilated conv with the derived 4x4
+    # kernel K4 = T w T^T, T = [[1,0,0],[1,1,0],[0,1,1],[0,0,1]] (verified
+    # exact) — no phase interleave / depth-to-space layout passes.
+    T4 = jnp.asarray([[1., 0, 0], [1, 1, 0], [0, 1, 1], [0, 0, 1]],
+                     jnp.bfloat16)
+
+    def upconv_dilated(x):
+        K4 = jnp.einsum("ur,vs,rsio->uvio", T4, T4, w)
+        return jax.lax.conv_general_dilated(
+            x, K4, (1, 1), padding=((2, 2), (2, 2)), lhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias
+
     for name, fn in (("upconv_naive", upconv_naive),
-                     ("upconv_poly", upconv_poly)):
+                     ("upconv_poly", upconv_poly),
+                     ("upconv_dilated", upconv_dilated)):
         ms = timeit(fn, x512in, a.iters)
+        results[name] = ms
+        print(json.dumps({"variant": name, "ms": round(ms, 2)}), flush=True)
+
+    # same three at the sparse-tile PATCH scale (4608 = 18 x 256 tiles of
+    # 12x12 input px) — the interleave layout thrash is worst here (xprof:
+    # pad_maximum 8.1 ms + 2x maximum_bitcast 4.1 ms per rollout)
+    xpatch = jnp.asarray(rng.randn(4608, 12, 12, C), jnp.bfloat16)
+    for name, fn in (("patch_naive", upconv_naive),
+                     ("patch_poly", upconv_poly),
+                     ("patch_dilated", upconv_dilated)):
+        ms = timeit(fn, xpatch, a.iters)
         results[name] = ms
         print(json.dumps({"variant": name, "ms": round(ms, 2)}), flush=True)
 
