@@ -102,6 +102,7 @@ class TriplaneGaussianAvatar(nn.Module):
             upsampler_sparse_max_tiles=c.upsampler_sparse_max_tiles,
             upsampler_sparse_tile_px=c.upsampler_sparse_tile_px,
             upsampler_upconv=c.upsampler_upconv,
+            sample_slab=c.sample_slab,
             name="renderer")
 
     def __call__(self, statics: RendererStatics, images: jnp.ndarray,

@@ -50,6 +50,7 @@ class AvatarConfig:
     upsampler_sparse_max_tiles: int = 384
     upsampler_sparse_tile_px: int = 16
     upsampler_upconv: str = "poly"  # 'poly' | 'dilated' exact upconv twins
+    sample_slab: bool = False       # sparse sampling via 2x2 slab gathers
     # sapiens_encoder.yaml
     image_feature_dim: int = 1536
     vit_depth: int = 40

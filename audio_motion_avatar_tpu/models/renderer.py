@@ -91,6 +91,9 @@ class Renderer(nn.Module):
     upsampler_sparse_max_tiles: int = 384
     upsampler_sparse_tile_px: int = 16
     upsampler_upconv: str = "poly"        # 'poly' | 'dilated' (exact twins)
+    # Sparse sampling via one (2,2C) slab gather per point/plane (halves
+    # gathered rows vs the 4-tap form; see ops.triplane.tile_halo).
+    sample_slab: bool = False
 
     def setup(self):
         if self.upsample_triplane:
@@ -162,11 +165,19 @@ class Renderer(nn.Module):
             # per-plane grid_sample coords of the body points drive the
             # covered-tile selection (the halo covers refiner offsets)
             u = jnp.clip(points / self.radius, -1.0, 1.0)    # (F, N, 3)
-            from ..ops.triplane import PLANE_AXES, sample_triplane_sparse
+            from ..ops.triplane import (PLANE_AXES, sample_triplane_sparse,
+                                        sample_triplane_sparse_slab, tile_halo)
             uv = jnp.stack([jnp.stack([u[..., a0], u[..., a1]], axis=-1)
                             for a0, a1 in PLANE_AXES], axis=1)  # (F,3,N,2)
             planes = self.upsampler(planes_lr, points_uv=uv)
-            sample = partial(sample_triplane_sparse, planes)
+            if self.sample_slab:
+                # halo built ONCE, shared by the pre- and post-refiner passes
+                th = jax.vmap(jax.vmap(
+                    lambda t, s: tile_halo(t, s, planes.grid)))(
+                        planes.tiles, planes.slot)
+                sample = partial(sample_triplane_sparse_slab, planes, th)
+            else:
+                sample = partial(sample_triplane_sparse, planes)
         elif self.upsample_triplane:
             planes = self.upsampler(planes_lr)        # (F, 3, H', W', C)
             sample = partial(sample_triplane_nhwc, planes)

@@ -161,3 +161,24 @@ def test_avatar_sparse_upsampler_forward():
     td = jax.tree_util.tree_structure(pmesh.unbox(vd))
     ts = jax.tree_util.tree_structure(pmesh.unbox(variables))
     assert td == ts
+
+
+def test_avatar_sparse_slab_sampling_matches_taps():
+    """sample_slab=True (one (2,2C) slab gather per point/plane) renders the
+    same images as the 4-tap sparse sampler when coverage is ample."""
+    import dataclasses
+    cfg_sp = dataclasses.replace(CFG, upsampler_sparse=True,
+                                 upsampler_sparse_max_tiles=64)
+    cfg_sl = dataclasses.replace(cfg_sp, sample_slab=True)
+    ref = make_batch(1, 1, CFG.image_size, seed=0)
+    cam = {k: jnp.asarray(v) for k, v in ref.cam_parms.items()}
+    model_a = TriplaneGaussianAvatar(cfg=cfg_sp, num_verts_encoder=NUM_VERTS_ENC)
+    variables = model_a.init(jax.random.PRNGKey(0), STATICS,
+                             jnp.asarray(ref.video), ref.smpl_parms, cam)
+    out_a = model_a.apply(pmesh.unbox(variables), STATICS,
+                          jnp.asarray(ref.video), ref.smpl_parms, cam)
+    model_b = TriplaneGaussianAvatar(cfg=cfg_sl, num_verts_encoder=NUM_VERTS_ENC)
+    out_b = model_b.apply(pmesh.unbox(variables), STATICS,
+                          jnp.asarray(ref.video), ref.smpl_parms, cam)
+    np.testing.assert_allclose(np.asarray(out_b.rendered_images),
+                               np.asarray(out_a.rendered_images), atol=1e-4)

@@ -200,6 +200,53 @@ def test_sparse_upsampler_gradients_finite():
     assert float(jnp.abs(g_planes).max()) > 0
 
 
+def test_slab_sampler_matches_taps():
+    """The (2,2C)-slab sparse sampler (one gather per point/plane, haloed
+    tiles) must match the 4-tap sampler: exactly under full coverage, and
+    on every all-taps-covered point under partial coverage."""
+    import jax.numpy as jnp
+    from audio_motion_avatar_tpu.ops import triplane as T
+
+    rng = np.random.RandomState(11)
+    grid, tile, C = 4, 8, 16
+    res = grid * tile
+    G2 = grid * grid
+    pts = jnp.asarray((rng.rand(400, 2) * 2.4 - 1.2).astype(np.float32))
+
+    # full coverage -> identical everywhere (incl. out-of-plane taps)
+    tiles = jnp.asarray(rng.randn(G2, tile, tile, C).astype(np.float32))
+    slot = jnp.arange(G2, dtype=np.int32)
+    a = T.grid_sample_2d_sparse(tiles, slot, pts, grid, tile, res)
+    b = T.grid_sample_2d_sparse_slab(T.tile_halo(tiles, slot, grid),
+                                     slot, pts, grid, tile, res)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-6)
+
+    # partial coverage -> identical on points whose taps are all covered
+    keep = np.ones(G2, bool)
+    keep[[3, 7, 9]] = False
+    slot2 = np.full(G2, -1, np.int32)
+    slot2[keep] = np.arange(int(keep.sum()))
+    tiles2 = jnp.asarray(rng.randn(int(keep.sum()), tile, tile, C)
+                         .astype(np.float32))
+    a2 = T.grid_sample_2d_sparse(tiles2, slot2, pts, grid, tile, res)
+    b2 = T.grid_sample_2d_sparse_slab(T.tile_halo(tiles2, slot2, grid),
+                                      slot2, pts, grid, tile, res)
+    x0 = np.floor((np.asarray(pts[:, 0]) + 1) * res / 2 - 0.5).astype(int)
+    y0 = np.floor((np.asarray(pts[:, 1]) + 1) * res / 2 - 0.5).astype(int)
+
+    def covered(xi, yi):
+        inb = (xi >= 0) & (xi < res) & (yi >= 0) & (yi < res)
+        t = (np.clip(yi, 0, res - 1) // tile) * grid + \
+            (np.clip(xi, 0, res - 1) // tile)
+        return ~inb | (slot2[t] >= 0)
+
+    m = (covered(x0, y0) & covered(x0 + 1, y0)
+         & covered(x0, y0 + 1) & covered(x0 + 1, y0 + 1))
+    assert m.sum() > 100
+    np.testing.assert_allclose(np.asarray(b2)[m], np.asarray(a2)[m],
+                               atol=1e-6)
+
+
 def test_dilated_upconv_twin_matches_poly():
     """The 'dilated' upconv impl (input-dilated conv, derived 4x4 kernel)
     must equal the polyphase impl exactly — same params, dense AND sparse

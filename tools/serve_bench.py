@@ -37,7 +37,8 @@ import numpy as np
 def build(batch: int, frames_per_chunk: int, ablate: str = "none",
           image_size=(512, 512), sparse: bool = False,
           sparse_cap: int = 384, sparse_tile: int = 16,
-          splat_segmented: bool = True, upconv: str = "poly"):
+          splat_segmented: bool = True, upconv: str = "poly",
+          sample_slab: bool = False):
     import dataclasses
     import jax
     import jax.numpy as jnp
@@ -60,7 +61,8 @@ def build(batch: int, frames_per_chunk: int, ablate: str = "none",
         upsampler_sparse_max_tiles=sparse_cap,
         upsampler_sparse_tile_px=sparse_tile,
         splat_segmented=splat_segmented,
-        upsampler_upconv=upconv)
+        upsampler_upconv=upconv,
+        sample_slab=sample_slab)
     smplx_model = smplx_ops.synthetic_model(seed=0)
     statics = build_renderer_statics(smplx_model,
                                      subdivide_steps=cfg.subdivide_steps,
@@ -133,11 +135,12 @@ def build(batch: int, frames_per_chunk: int, ablate: str = "none",
 
 def run(batch=2, frames_per_chunk=6, ablate="none", reps=5,
         image_size=(512, 512), sparse=False, sparse_cap=384, sparse_tile=16,
-        splat_segmented=True, upconv="poly"):
+        splat_segmented=True, upconv="poly", sample_slab=False):
     rollout, params, args_, (B, T_out) = build(batch, frames_per_chunk,
                                                ablate, image_size, sparse,
                                                sparse_cap, sparse_tile,
-                                               splat_segmented, upconv)
+                                               splat_segmented, upconv,
+                                               sample_slab)
     tri, smpl, aud, cam = args_
 
     def fence(out):
@@ -174,11 +177,14 @@ def main():
     ap.add_argument("--sparse-tile", type=int, default=16)
     ap.add_argument("--no-splat-segmented", action="store_true")
     ap.add_argument("--upconv", default="poly", choices=["poly", "dilated"])
+    ap.add_argument("--slab", action="store_true",
+                    help="sparse sampling via (2,2C) slab gathers")
     a = ap.parse_args()
     res = run(a.batch, a.frames_per_chunk, a.ablate, a.reps,
               tuple(a.image_size), sparse=a.sparse, sparse_cap=a.sparse_cap,
               sparse_tile=a.sparse_tile,
-              splat_segmented=not a.no_splat_segmented, upconv=a.upconv)
+              splat_segmented=not a.no_splat_segmented, upconv=a.upconv,
+              sample_slab=a.slab)
     print(json.dumps({k: (round(v, 2) if isinstance(v, float) else v)
                       for k, v in res.items()}))
 
