@@ -351,9 +351,11 @@ def _pack_sorted_params(proj: splat.Projected, width: int, height: int,
     keys_sorted = sorted_all[0]
     params_sorted = jnp.stack(sorted_all[1:], axis=0)       # (9, NP)
     # pad rows 9 -> 16 (Mosaic DMA slices must align to the (8,128) sublane
-    # tiling) and columns +K+128 (the kernel DMAs a 128-aligned window of
-    # K+128 columns; counts/offsets mask the out-of-segment slots)
-    params_sorted = jnp.pad(params_sorted, ((0, 16 - 9), (0, K + 128)))
+    # tiling) and columns by the kernel's DMA window (a 128-aligned,
+    # 128-chunk-multiple window covering off+K; counts/offsets mask the
+    # out-of-segment slots)
+    win = (K + 2 * 128 - 1) // 128 * 128
+    params_sorted = jnp.pad(params_sorted, ((0, 16 - 9), (0, win)))
 
     tids = jnp.arange(n_tiles, dtype=jnp.int32)
     starts = jnp.searchsorted(keys_sorted, tids << rank_bits,
@@ -389,19 +391,6 @@ def _seg_kernel(starts_ref, counts_ref, tx_ref, params_hbm, out_ref,
     cp.start()
     cp.wait()
 
-    K = scratch.shape[1]
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
-    slot_ok = (col >= off) & (col < off + count)
-    mx = scratch[0:1, :]
-    my = scratch[1:2, :]
-    cxx = scratch[2:3, :]
-    cxy = scratch[3:4, :]
-    cyy = scratch[4:5, :]
-    op = jnp.where(slot_ok, scratch[5:6, :], 0.0)
-    cr = scratch[6:7, :]
-    cg = scratch[7:8, :]
-    cb = scratch[8:9, :]
-
     tid = t % ntpf
     txi = (tid % tx).astype(jnp.float32)
     tyi = (tid // tx).astype(jnp.float32)
@@ -409,26 +398,50 @@ def _seg_kernel(starts_ref, counts_ref, tx_ref, params_hbm, out_ref,
     px = (pix % TILE).astype(jnp.float32) + txi * TILE
     py = (pix // TILE).astype(jnp.float32) + tyi * TILE
 
-    dx = px - mx
-    dy = py - my
-    power = -0.5 * (cxx * dx * dx + cyy * dy * dy) - cxy * dx * dy
-    alpha = jnp.minimum(op * jnp.exp(jnp.minimum(power, 0.0)), ALPHA_MAX)
-    alpha = jnp.where((power > 0.0) | (alpha < ALPHA_MIN), 0.0, alpha)
+    # Chunked front-to-back blend: compute scales with the tile's ACTUAL
+    # segment length (average ~a fifth of K at serving load), not the
+    # static window — the (P, K)@(K, K) triangular-cumsum matmul of the
+    # one-shot form is >90% of this kernel's FLOPs and is paid in full
+    # even for empty tiles. Per 128-slot chunk: in-chunk triangular
+    # cumsum + a carried per-pixel log-transmittance.
+    CH = 128
+    rows = jax.lax.broadcasted_iota(jnp.int32, (CH, CH), 0)
+    cols_t = jax.lax.broadcasted_iota(jnp.int32, (CH, CH), 1)
+    tri = (rows <= cols_t).astype(jnp.float32)
+    ccol = jax.lax.broadcasted_iota(jnp.int32, (1, CH), 1)
+    n_ch = jnp.where(count > 0, (off + count + CH - 1) // CH, 0)
 
-    log1m = jnp.log1p(-alpha)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
-    tri = (rows <= cols).astype(jnp.float32)
-    logT_after = jnp.dot(log1m, tri, preferred_element_type=jnp.float32)
-    logT_before = logT_after - log1m
-    w = alpha * jnp.exp(logT_before)
-    w = jnp.where(jnp.exp(logT_after) < T_EPS, 0.0, w)
+    def chunk(c, state):
+        logT0, acc_r, acc_g, acc_b = state
+        base = c * CH
+        sl = scratch[:, pl.ds(base, CH)]                     # (16, CH)
+        slot_ok = (base + ccol >= off) & (base + ccol < off + count)
+        mx = sl[0:1]
+        my = sl[1:2]
+        cxx = sl[2:3]
+        cxy = sl[3:4]
+        cyy = sl[4:5]
+        op = jnp.where(slot_ok, sl[5:6], 0.0)
+        dx = px - mx
+        dy = py - my
+        power = -0.5 * (cxx * dx * dx + cyy * dy * dy) - cxy * dx * dy
+        alpha = jnp.minimum(op * jnp.exp(jnp.minimum(power, 0.0)), ALPHA_MAX)
+        alpha = jnp.where((power > 0.0) | (alpha < ALPHA_MIN), 0.0, alpha)
+        log1m = jnp.log1p(-alpha)                            # (P, CH)
+        cums = jnp.dot(log1m, tri, preferred_element_type=jnp.float32)
+        logT_after = logT0 + cums
+        w = alpha * jnp.exp(logT_after - log1m)
+        w = jnp.where(jnp.exp(logT_after) < T_EPS, 0.0, w)
+        return (logT0 + cums[:, -1:],
+                acc_r + jnp.sum(w * sl[6:7], axis=1, keepdims=True),
+                acc_g + jnp.sum(w * sl[7:8], axis=1, keepdims=True),
+                acc_b + jnp.sum(w * sl[8:9], axis=1, keepdims=True))
 
-    T_final = jnp.exp(logT_after[:, -1:])
-    r = jnp.sum(w * cr, axis=1, keepdims=True) + T_final
-    g = jnp.sum(w * cg, axis=1, keepdims=True) + T_final
-    b = jnp.sum(w * cb, axis=1, keepdims=True) + T_final
-    out = jnp.concatenate([r, g, b], axis=1)
+    zero = jnp.zeros((P, 1), jnp.float32)
+    logT, r, g, b = jax.lax.fori_loop(0, n_ch, chunk,
+                                      (zero, zero, zero, zero))
+    T_final = jnp.exp(logT)
+    out = jnp.concatenate([r + T_final, g + T_final, b + T_final], axis=1)
     out_ref[0] = jnp.clip(out, 0.0, 1.0)
 
 
@@ -449,7 +462,8 @@ def _composite_segments_pallas(params_sorted: jnp.ndarray,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, P, 3), lambda t, s0, s1, s2: (t, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((16, K + 128), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((16, (K + 2 * 128 - 1) // 128 * 128),
+                                   jnp.float32),
                         pltpu.SemaphoreType.DMA],
     )
     return pl.pallas_call(
