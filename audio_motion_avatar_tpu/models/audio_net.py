@@ -121,6 +121,11 @@ class AudioTriplaneNet(nn.Module):
             # 4.11 ms/layer on v5e (tools/attn_probe.py); TPU-only gate in
             # Attention keeps CPU tests on the dense path.
             use_flash=True,
+            # Every AR step discards the leading [tri_motion|smpl_motion]
+            # half of the transformer output — only the trailing
+            # [new_tri|new_smpl] tokens feed the next step. final_tail makes
+            # the last block + proj_out compute only those queries (exact).
+            final_tail=S_tri + L,
             name="transformer")
 
         tri_motion = tri_reducer(triplane_tokens)      # (B, C, S_tri)
@@ -138,8 +143,9 @@ class AudioTriplaneNet(nn.Module):
             query = jnp.concatenate(
                 [tri_motion, smpl_motion, last_tri, last_smpl], axis=-1)
             out = transformer(query, audio_features[:, t:t + 1])
+            # out covers only the trailing S_tri+L positions (final_tail)
             new_smpl = out[:, :, -L:]
-            new_tri = out[:, :, -S_tri - L:-L]
+            new_tri = out[:, :, :S_tri]
             tri_pair = jnp.stack([new_tri, last_tri], axis=1)
             smpl_pair = jnp.stack([last_smpl, new_smpl], axis=1)
             tri_motion = tri_reducer(tri_pair)

@@ -67,6 +67,8 @@ class Attention(nn.Module):
     # (tools/attn_probe.py): flash q1024/k1024 = 2.76 ms vs XLA bf16
     # materialized = 4.11 ms per layer. Opt-in per call site.
     use_flash: bool = False
+    # Compute only the last q_tail query positions (keys/values full).
+    q_tail: Optional[int] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None,
@@ -88,11 +90,12 @@ class Attention(nn.Module):
             # checkpoints/imports keep their full layout.
             _ = q_layer(x[:, :1])
             _ = k_layer(kv_src[:, :1])
-            out = jnp.broadcast_to(v, (x.shape[0], x.shape[1], inner))
+            q_len = x.shape[1] if self.q_tail is None else self.q_tail
+            out = jnp.broadcast_to(v, (x.shape[0], q_len, inner))
             return _dense(self.out_dim, ("heads", "embed"), name="out",
                           dtype=self.dtype)(out)
 
-        q = q_layer(x)
+        q = q_layer(x if self.q_tail is None else x[:, -self.q_tail:])
         k = k_layer(kv_src)
 
         B, S, _ = q.shape
@@ -131,18 +134,22 @@ class Attention(nn.Module):
         from jax.experimental.pallas.ops.tpu import flash_attention as fa
 
         B, S, H, D = q.shape
+        Skv = k.shape[1]
         BLOCK = 1024
         Sp = ((S + BLOCK - 1) // BLOCK) * BLOCK
-        pad = Sp - S
+        Skvp = ((Skv + BLOCK - 1) // BLOCK) * BLOCK
 
-        def p(t):
-            return jnp.pad(t, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        def p(t, target):
+            return jnp.pad(t, ((0, 0), (0, target - t.shape[1]),
+                               (0, 0), (0, 0)))
 
-        qh = p(q).transpose(0, 2, 1, 3)  # (B, H, Sp, D)
-        kh = p(k).transpose(0, 2, 1, 3)
-        vh = p(v).transpose(0, 2, 1, 3)
-        seg = jnp.where(jnp.arange(Sp) < S, 1, 2).astype(jnp.int32)
-        seg = jnp.broadcast_to(seg[None], (B, Sp))
+        qh = p(q, Sp).transpose(0, 2, 1, 3)  # (B, H, Sp, D)
+        kh = p(k, Skvp).transpose(0, 2, 1, 3)
+        vh = p(v, Skvp).transpose(0, 2, 1, 3)
+        seg_q = jnp.where(jnp.arange(Sp) < S, 1, 2).astype(jnp.int32)
+        seg_q = jnp.broadcast_to(seg_q[None], (B, Sp))
+        seg_kv = jnp.where(jnp.arange(Skvp) < Skv, 1, 2).astype(jnp.int32)
+        seg_kv = jnp.broadcast_to(seg_kv[None], (B, Skvp))
         # ALL block sizes (incl. backward dkv/dq) must be given or the
         # kernel refuses to differentiate (stage-2 training hits the bwd).
         bs = fa.BlockSizes(
@@ -151,7 +158,7 @@ class Attention(nn.Module):
             block_k_dkv=BLOCK, block_q_dkv=BLOCK,
             block_k_major_dq=BLOCK, block_k_dq=BLOCK, block_q_dq=BLOCK)
         out = fa.flash_attention(qh, kh, vh,
-                                 segment_ids=fa.SegmentIds(q=seg, kv=seg),
+                                 segment_ids=fa.SegmentIds(q=seg_q, kv=seg_kv),
                                  sm_scale=scale, block_sizes=bs)
         return out.transpose(0, 2, 1, 3)[:, :S]
 
@@ -182,12 +189,20 @@ class TransformerBlock(nn.Module):
     context_dim: Optional[int] = None
     dtype: Optional[Dtype] = None
     use_flash: bool = False  # self-attention only; cross KV is tiny
+    # When set, only the LAST q_tail query positions are computed (keys and
+    # values still span the full sequence) and the output is (B, q_tail, C).
+    # Exact for callers that discard the head of the final layer's output —
+    # the audio rollout reads only its trailing S_tri+L tokens each AR step.
+    q_tail: Optional[int] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         h = nn.LayerNorm(name="norm1", dtype=self.dtype)(x)
+        if self.q_tail is not None:
+            x = x[:, -self.q_tail:]
         x = x + Attention(self.heads, self.head_dim, self.dim,
                           dtype=self.dtype, use_flash=self.use_flash,
+                          q_tail=self.q_tail,
                           name="attn1")(h)
         if self.context_dim is not None:
             h = nn.LayerNorm(name="norm2", dtype=self.dtype)(x)
@@ -214,6 +229,12 @@ class Transformer1D(nn.Module):
     remat: bool = True
     dtype: Optional[Dtype] = None
     use_flash: bool = False
+    # When set, the output covers only the LAST final_tail sequence positions
+    # ((B, C, final_tail)): the final block computes just those queries and
+    # proj_out/residual are sliced to match. Exact for callers that discard
+    # the leading positions (the audio AR rollout keeps only its trailing
+    # S_tri+L tokens, models/audio_net.py).
+    final_tail: Optional[int] = None
 
     @nn.compact
     def __call__(self, tokens: jnp.ndarray,
@@ -231,11 +252,14 @@ class Transformer1D(nn.Module):
         if self.remat:
             block_cls = nn.remat(TransformerBlock, static_argnums=())
         for i in range(self.num_layers):
+            tail = self.final_tail if i == self.num_layers - 1 else None
             h = block_cls(self.heads * self.head_dim, self.heads, self.head_dim,
                           context_dim=self.context_dim, dtype=self.dtype,
-                          use_flash=self.use_flash,
+                          use_flash=self.use_flash, q_tail=tail,
                           name=f"block_{i}")(h, context)
 
         h = _dense(self.in_channels, ("embed_inner", "embed"),
                    name="proj_out", dtype=self.dtype)(h)
+        if self.final_tail is not None:
+            residual = residual[:, :, -self.final_tail:]
         return h.swapaxes(1, 2) + residual

@@ -130,3 +130,21 @@ def test_flash_block_sizes_fully_specified_for_backward():
     src = inspect.getsource(tfm.Attention._flash)
     for field in ("block_q_dkv", "block_k_dq", "block_q_major_dkv"):
         assert field in src, f"_flash must set {field}"
+
+
+def test_final_tail_matches_full_output_tail():
+    """final_tail computes exactly the tail slice of the full forward
+    (same params: the tail variant only skips discarded query positions)."""
+    full = Transformer1D(num_layers=2, heads=2, head_dim=8, in_channels=32,
+                         context_dim=16)
+    tail = Transformer1D(num_layers=2, heads=2, head_dim=8, in_channels=32,
+                         context_dim=16, final_tail=6)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 32, 10).astype(np.float32))
+    ctx = jnp.asarray(np.random.RandomState(1).randn(2, 1, 16).astype(np.float32))
+    v = full.init(jax.random.PRNGKey(0), x, ctx)
+    y_full = full.apply(v, x, ctx)
+    y_tail = tail.apply(v, x, ctx)
+    assert y_tail.shape == (2, 32, 6)
+    np.testing.assert_allclose(np.asarray(y_tail),
+                               np.asarray(y_full[:, :, -6:]),
+                               rtol=1e-5, atol=1e-5)
