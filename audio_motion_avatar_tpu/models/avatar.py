@@ -96,6 +96,8 @@ class TriplaneGaussianAvatar(nn.Module):
             point_refiner=self.point_refiner,
             compute_dtype=cdt,
             frames_per_chunk=c.frames_per_chunk,
+            scan_remat=c.frames_scan_remat,
+            scan_unroll=c.frames_scan_unroll,
             rgb=c.rgb,
             sh_degree=c.sh_degree,
             upsampler_sparse=c.upsampler_sparse,

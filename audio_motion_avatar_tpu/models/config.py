@@ -85,6 +85,13 @@ class AvatarConfig:
     # upsampler convs (1.7x MXU efficiency at 6 frames, ~2.4GB bf16/frame
     # of 512^2 plane memory)
     frames_per_chunk: int = 1
+    # Renderer frame-scan remat/unroll: remat trades recompute for training
+    # memory (required for the backward); serving should disable it (the
+    # checkpoint barrier also stops XLA from overlapping one chunk's
+    # HBM-bound gathers with the next chunk's convs — set unroll to the
+    # chunk count there).
+    frames_scan_remat: bool = True
+    frames_scan_unroll: int = 1
 
     @classmethod
     def default(cls) -> "AvatarConfig":

@@ -83,6 +83,8 @@ class Renderer(nn.Module):
     splat_segmented: bool = False         # serving-only fwd path (no VJP)
     splat_max_window: int = 4             # sorted-binning tile window
     frames_per_chunk: int = 1             # frames per scan step (memory vs MXU)
+    scan_remat: bool = True               # remat the frame scan (training)
+    scan_unroll: int = 1                  # lax.scan unroll (serving: chunks)
     rgb: bool = True                      # renderer.yaml:22; False -> SH colors
     sh_degree: int = 0                    # SH degree for the rgb=False branch
     # Sparse-tile final upsample level (see TriplaneUpsampler.sparse_final):
@@ -294,9 +296,14 @@ class Renderer(nn.Module):
 
         # remat: without it the scan stores every frame's upsampler
         # activations (~4GB bf16/frame at 512^2) for the backward pass.
-        frame = nn.remat(frame, prevent_cse=False)
+        # Serving disables it (scan_remat=False) and unrolls: the checkpoint
+        # wrapper inserts VMEM-write barrier copies and stops XLA from
+        # overlapping one chunk's gathers with the next chunk's convs.
+        if self.scan_remat:
+            frame = nn.remat(frame, prevent_cse=False)
         scan = nn.scan(frame, variable_broadcast="params",
-                       split_rngs={"params": False}, in_axes=0, out_axes=0)
+                       split_rngs={"params": False}, in_axes=0, out_axes=0,
+                       unroll=max(1, min(self.scan_unroll, n_chunks)))
         _, (gaussians, images) = scan(
             self, None,
             (chunked(planes_lr), chunked(points), chunked(transl),

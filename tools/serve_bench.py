@@ -62,7 +62,11 @@ def build(batch: int, frames_per_chunk: int, ablate: str = "none",
         upsampler_sparse_tile_px=sparse_tile,
         splat_segmented=splat_segmented,
         upsampler_upconv=upconv,
-        sample_slab=sample_slab)
+        sample_slab=sample_slab,
+        # serving: no backward -> no remat; unroll the 2-chunk frame scan so
+        # XLA overlaps chunk 0's HBM-bound tail with chunk 1's compute
+        frames_scan_remat=False,
+        frames_scan_unroll=8)
     smplx_model = smplx_ops.synthetic_model(seed=0)
     statics = build_renderer_statics(smplx_model,
                                      subdivide_steps=cfg.subdivide_steps,
