@@ -51,12 +51,18 @@ def build_avatar_config(cfg: Config) -> AvatarConfig:
         upsampler_sparse=rd.get("upsampler_sparse", False),
         upsampler_sparse_max_tiles=rd.get("upsampler_sparse_max_tiles", 384),
         upsampler_sparse_tile_px=rd.get("upsampler_sparse_tile_px", 16),
+        upsampler_sparse_penultimate=rd.get("upsampler_sparse_penultimate",
+                                            False),
+        upsampler_sparse_pen_max_tiles=rd.get("upsampler_sparse_pen_max_tiles",
+                                              128),
         upsampler_upconv=rd.get("upsampler_upconv", "poly"),
         sample_slab=rd.get("sample_slab", False),
         splat_segmented=rd.get("splat_segmented", False),
+        splat_max_window=rd.get("splat_max_window", 4),
         frames_per_chunk=rd.get("frames_per_chunk", 1),
         frames_scan_remat=rd.get("frames_scan_remat", True),
         frames_scan_unroll=rd.get("frames_scan_unroll", 1),
+        audio_transformer_remat=an.get("transformer_remat", True),
         image_feature_dim=se.image_feature_dim,
         vit_depth=se.get("vit_depth", 40),
         vit_heads=se.get("vit_heads", 24),

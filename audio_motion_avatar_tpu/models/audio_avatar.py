@@ -60,6 +60,7 @@ class AudioDrivenAvatar(nn.Module):
             audio_feature_dim=c.audio_feature_dim,
             compute_dtype=(jnp.bfloat16 if c.compute_dtype == "bfloat16"
                            else None),
+            remat=c.audio_transformer_remat,
             name="audio_triplane")
 
     def __call__(self, statics: RendererStatics,

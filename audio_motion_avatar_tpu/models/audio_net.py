@@ -97,6 +97,10 @@ class AudioTriplaneNet(nn.Module):
     heads: int = 8
     audio_feature_dim: int = 768
     compute_dtype: object = None
+    # Remat over transformer blocks: right for training; serving
+    # (forward-only) turns it off — remat barriers hurt XLA scheduling
+    # even with no backward pass (same finding as the renderer frame scan).
+    remat: bool = True
 
     @nn.compact
     def __call__(self, audio_features: jnp.ndarray,
@@ -126,6 +130,7 @@ class AudioTriplaneNet(nn.Module):
             # [new_tri|new_smpl] tokens feed the next step. final_tail makes
             # the last block + proj_out compute only those queries (exact).
             final_tail=S_tri + L,
+            remat=self.remat,
             name="transformer")
 
         tri_motion = tri_reducer(triplane_tokens)      # (B, C, S_tri)

@@ -93,6 +93,7 @@ class TriplaneGaussianAvatar(nn.Module):
             flat_hand_mean=c.flat_hand_mean,
             max_per_tile=c.max_per_tile,
             splat_segmented=c.splat_segmented,
+            splat_max_window=c.splat_max_window,
             point_refiner=self.point_refiner,
             compute_dtype=cdt,
             frames_per_chunk=c.frames_per_chunk,
@@ -103,6 +104,8 @@ class TriplaneGaussianAvatar(nn.Module):
             upsampler_sparse=c.upsampler_sparse,
             upsampler_sparse_max_tiles=c.upsampler_sparse_max_tiles,
             upsampler_sparse_tile_px=c.upsampler_sparse_tile_px,
+            upsampler_sparse_penultimate=c.upsampler_sparse_penultimate,
+            upsampler_sparse_pen_max_tiles=c.upsampler_sparse_pen_max_tiles,
             upsampler_upconv=c.upsampler_upconv,
             sample_slab=c.sample_slab,
             name="renderer")

@@ -44,11 +44,15 @@ class AvatarConfig:
     # segment-DMA Pallas composite (forward-only, no VJP — training keeps
     # the gather-packed composite_tiles with its custom backward kernel)
     splat_segmented: bool = False
+    splat_max_window: int = 4     # sorted-binning tile window (W x W tiles)
     # sparse-tile final upsample level (TPU redesign, see models/upsampler):
     # evaluate the 512^2 conv level only on body-covered 16px tiles
     upsampler_sparse: bool = False
     upsampler_sparse_max_tiles: int = 384
     upsampler_sparse_tile_px: int = 16
+    # sparse penultimate level too (scatter onto the dense skip background)
+    upsampler_sparse_penultimate: bool = False
+    upsampler_sparse_pen_max_tiles: int = 128
     upsampler_upconv: str = "poly"  # 'poly' | 'dilated' exact upconv twins
     sample_slab: bool = False       # sparse sampling via 2x2 slab gathers
     # sapiens_encoder.yaml
@@ -92,6 +96,9 @@ class AvatarConfig:
     # chunk count there).
     frames_scan_remat: bool = True
     frames_scan_unroll: int = 1
+    # Remat over the audio AR transformer's blocks (48 applications per
+    # rollout): training yes, serving no — same barrier cost as above.
+    audio_transformer_remat: bool = True
 
     @classmethod
     def default(cls) -> "AvatarConfig":

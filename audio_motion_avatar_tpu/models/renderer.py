@@ -92,6 +92,8 @@ class Renderer(nn.Module):
     upsampler_sparse: bool = False
     upsampler_sparse_max_tiles: int = 384
     upsampler_sparse_tile_px: int = 16
+    upsampler_sparse_penultimate: bool = False
+    upsampler_sparse_pen_max_tiles: int = 128
     upsampler_upconv: str = "poly"        # 'poly' | 'dilated' (exact twins)
     # Sparse sampling via one (2,2C) slab gather per point/plane (halves
     # gathered rows vs the 4-tap form; see ops.triplane.tile_halo).
@@ -106,6 +108,8 @@ class Renderer(nn.Module):
                 dtype=self.compute_dtype, channels_last=True,
                 sparse_final=self.upsampler_sparse,
                 sparse_max_tiles=self.upsampler_sparse_max_tiles,
+                sparse_penultimate=self.upsampler_sparse_penultimate,
+                sparse_pen_max_tiles=self.upsampler_sparse_pen_max_tiles,
                 sparse_tile_px=self.upsampler_sparse_tile_px,
                 upconv=self.upsampler_upconv,
                 name="upsampler")

@@ -91,9 +91,11 @@ class Attention(nn.Module):
             _ = q_layer(x[:, :1])
             _ = k_layer(kv_src[:, :1])
             q_len = x.shape[1] if self.q_tail is None else self.q_tail
-            out = jnp.broadcast_to(v, (x.shape[0], q_len, inner))
-            return _dense(self.out_dim, ("heads", "embed"), name="out",
-                          dtype=self.dtype)(out)
+            # project the ONE distinct row, then broadcast (dense and
+            # broadcast commute — saves the (S, inner) @ (inner, out) matmul)
+            out1 = _dense(self.out_dim, ("heads", "embed"), name="out",
+                          dtype=self.dtype)(v)
+            return jnp.broadcast_to(out1, (x.shape[0], q_len, self.out_dim))
 
         q = q_layer(x if self.q_tail is None else x[:, -self.q_tail:])
         k = k_layer(kv_src)

@@ -364,6 +364,13 @@ class TriplaneUpsampler(nn.Module):
     sparse_final: bool = False
     sparse_max_tiles: int = 384
     sparse_tile_px: int = 16
+    # Sparse PENULTIMATE level too (needs sparse_final): evaluate up_{N-2}
+    # only on covered tiles and scatter the results onto the dense
+    # nearest-2x skip background. Covered tiles are exact (same GroupNorm
+    # caveat); uncovered regions carry the skip value only — they are read
+    # exclusively through the final level's halo taps.
+    sparse_penultimate: bool = False
+    sparse_pen_max_tiles: int = 128
     upconv: str = "poly"   # 'poly' | 'dilated'
 
     @nn.compact
@@ -381,7 +388,10 @@ class TriplaneUpsampler(nn.Module):
         if self.dtype is not None:
             x = x.astype(self.dtype)
         sparse = self.sparse_final and points_uv is not None
+        sparse_pen = sparse and self.sparse_penultimate and self.num_blocks >= 2
         n_dense = self.num_blocks - 1 if sparse else self.num_blocks
+        if sparse_pen:
+            n_dense -= 1
         # The skip path is a RUNNING buffer of the input, 1x1-projected once
         # then nearest-upsampled each step (renderer.py:390-413).
         skip = x
@@ -393,6 +403,10 @@ class TriplaneUpsampler(nn.Module):
                                dtype=self.dtype)(skip)
             skip = _nearest2x(skip)
             x = up + skip
+        if sparse_pen:
+            x, skip = self._sparse_scatter_level(
+                x, skip, points_uv, self.num_blocks - 2,
+                first=(n_dense == 0))
         if not sparse:
             Hn, Wn, Cn = x.shape[1:4]
             if self.channels_last:
@@ -401,29 +415,27 @@ class TriplaneUpsampler(nn.Module):
             return out.reshape(B, P, Cn, Hn, Wn)
         return self._sparse_final_level(x, skip, points_uv, B, P)
 
-    def _sparse_final_level(self, x: jnp.ndarray, skip: jnp.ndarray,
-                            points_uv: jnp.ndarray, B: int, P: int):
-        """x, skip: (B*P, Hin, Win, C) at half the final res."""
+    def _sparse_eval_level(self, x: jnp.ndarray, points_uv: jnp.ndarray,
+                           level: int, cap_cfg: int):
+        """Shared sparse machinery: select covered tiles at 2x the res of
+        `x`, gather haloed input patches, run UpsampleBlock `up_{level}`
+        sparsely. Returns (tiles (FP,cap,T,T,C), tile_ids, valid, slot,
+        grid, tile_px, res)."""
         FP, Hin, _, C = x.shape
         res = Hin * 2
         tile_px = min(self.sparse_tile_px, res)
         in_tile = tile_px // 2
         grid = res // tile_px
-        cap = min(self.sparse_max_tiles, grid * grid)
+        cap = min(cap_cfg, grid * grid)
         uv = points_uv.reshape(FP, -1, 2)
 
-        if self.num_blocks == 1:  # final block is also block 0: the skip
-            skip = nn.Conv(self.feature_dim, (1, 1), name="skip_proj",
-                           dtype=self.dtype)(skip)
-
         tile_ids, valid, slot = jax.vmap(
-            lambda u: select_tiles(u, grid, cap, tile_px))(uv)  # (FP,cap),(FP,G2)
+            lambda u: select_tiles(u, grid, cap, tile_px))(uv)
 
         patches = jax.vmap(
             lambda xx, t: _gather_patches(xx, t, grid, in_tile, 2))(
                 x, tile_ids)                           # (FP,cap,Tin+4,Tin+4,C)
 
-        # in-plane masks for the u (T+4)^2 and conv1 (T+2)^2 windows
         r0 = (tile_ids // grid) * tile_px                      # (FP, cap)
         c0 = (tile_ids % grid) * tile_px
 
@@ -438,10 +450,52 @@ class TriplaneUpsampler(nn.Module):
         ctx = SparseCtx(valid=valid,
                         inplane_u=window_mask(tile_px + 4, 2),
                         inplane_c1=window_mask(tile_px + 2, 1))
-        i = self.num_blocks - 1
-        res_tiles = UpsampleBlock(self.feature_dim, name=f"up_{i}",
-                                  dtype=self.dtype,
-                                  upconv=self.upconv)(patches, ctx)
+        tiles = UpsampleBlock(self.feature_dim, name=f"up_{level}",
+                              dtype=self.dtype,
+                              upconv=self.upconv)(patches, ctx)
+        return tiles, tile_ids, valid, slot, grid, tile_px, res
+
+    def _sparse_scatter_level(self, x: jnp.ndarray, skip: jnp.ndarray,
+                              points_uv: jnp.ndarray, level: int,
+                              first: bool):
+        """Penultimate sparse level: evaluate up_{level} on covered tiles
+        only, scatter onto the dense nearest-2x skip background.
+
+        Covered tiles equal the dense computation exactly (up to the
+        covered-tile GroupNorm statistics); uncovered tiles carry skip2x
+        alone — downstream they are touched only by the final level's conv
+        halo taps. Returns (x_next (FP,2H,2W,C), skip2x)."""
+        FP, Hin, _, C = x.shape
+        if first:  # this level is also block 0: project the skip once
+            skip = nn.Conv(self.feature_dim, (1, 1), name="skip_proj",
+                           dtype=self.dtype)(skip)
+        tiles, tile_ids, valid, _, grid, T, res = self._sparse_eval_level(
+            x, points_uv, level, self.sparse_pen_max_tiles)
+        skip2x = _nearest2x(skip)                              # (FP,res,res,C)
+        Cn = tiles.shape[-1]
+        tiles = tiles * valid[..., None, None, None].astype(tiles.dtype)
+        # scatter-add the up-block tile interiors onto the skip background:
+        # covered tile value = up + skip2x (the dense recurrence); invalid
+        # slots all alias tile 0 but add zeros.
+        base = skip2x.reshape(FP, grid, T, grid, T, Cn).transpose(0, 1, 3, 2, 4, 5)
+        base = base.reshape(FP, grid * grid, T, T, Cn)
+        out = jax.vmap(lambda b, t, v: b.at[t].add(v))(base, tile_ids, tiles)
+        out = out.reshape(FP, grid, grid, T, T, Cn).transpose(0, 1, 3, 2, 4, 5)
+        return out.reshape(FP, res, res, Cn), skip2x
+
+    def _sparse_final_level(self, x: jnp.ndarray, skip: jnp.ndarray,
+                            points_uv: jnp.ndarray, B: int, P: int):
+        """x, skip: (B*P, Hin, Win, C) at half the final res."""
+        FP, Hin, _, C = x.shape
+        if self.num_blocks == 1:  # final block is also block 0: the skip
+            skip = nn.Conv(self.feature_dim, (1, 1), name="skip_proj",
+                           dtype=self.dtype)(skip)
+
+        res_tiles, tile_ids, valid, slot, grid, tile_px, res = \
+            self._sparse_eval_level(x, points_uv, self.num_blocks - 1,
+                                    self.sparse_max_tiles)
+        in_tile = tile_px // 2
+        cap = tile_ids.shape[1]
 
         skip_patches = jax.vmap(
             lambda s, t: _gather_patches(s, t, grid, in_tile, 0))(

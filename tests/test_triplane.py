@@ -200,6 +200,68 @@ def test_sparse_upsampler_gradients_finite():
     assert float(jnp.abs(g_planes).max()) > 0
 
 
+def test_sparse_penultimate_full_coverage_equals_dense():
+    """sparse_penultimate with every tile covered (both levels) must equal
+    the dense upsampler: covered penultimate tiles are the exact dense
+    recurrence scattered onto the skip background."""
+    import jax
+    import jax.numpy as jnp
+    from audio_motion_avatar_tpu.models.upsampler import TriplaneUpsampler
+    from audio_motion_avatar_tpu.ops import triplane as T
+
+    rng = np.random.RandomState(7)
+    C, R, nb = 32, 16, 2                      # 16 -> 32 (pen) -> 64 (final)
+    planes = jnp.asarray(rng.randn(1, 3, C, R, R).astype(np.float32))
+    dense = TriplaneUpsampler(C, nb, channels_last=True)
+    sparse = TriplaneUpsampler(C, nb, sparse_final=True,
+                               sparse_max_tiles=16,   # grid 4 -> all covered
+                               sparse_penultimate=True,
+                               sparse_pen_max_tiles=4)  # grid 2 -> all
+    v = dense.init(jax.random.PRNGKey(0), planes)
+
+    g = np.linspace(-0.97, 0.97, 24)
+    pts3 = np.stack(np.meshgrid(g, g, g), -1).reshape(-1, 3)
+    pts = jnp.asarray(pts3[None].astype(np.float32)) * 1.4
+    u = jnp.clip(pts / 1.4, -1, 1)
+    uv = jnp.stack([jnp.stack([u[..., a0], u[..., a1]], -1)
+                    for a0, a1 in T.PLANE_AXES], axis=1)
+
+    out_d = dense.apply(v, planes)
+    sp = sparse.apply(v, planes, points_uv=uv)
+    assert bool(sp.valid.all())
+    feats_d = T.sample_triplane_nhwc(out_d, pts, 1.4)
+    feats_s = T.sample_triplane_sparse(sp, pts, 1.4)
+    np.testing.assert_allclose(np.asarray(feats_s), np.asarray(feats_d),
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_sparse_penultimate_partial_coverage_sane():
+    """Cap-limited penultimate: finite, nonzero output; uncovered
+    penultimate tiles degrade to the skip value (not garbage)."""
+    import jax
+    import jax.numpy as jnp
+    from audio_motion_avatar_tpu.models.upsampler import TriplaneUpsampler
+    from audio_motion_avatar_tpu.ops import triplane as T
+
+    rng = np.random.RandomState(8)
+    C, R, nb = 32, 16, 2
+    planes = jnp.asarray(rng.randn(1, 3, C, R, R).astype(np.float32))
+    sparse = TriplaneUpsampler(C, nb, sparse_final=True,
+                               sparse_max_tiles=9,
+                               sparse_penultimate=True,
+                               sparse_pen_max_tiles=2)
+    v = sparse.init(jax.random.PRNGKey(0), planes,
+                    points_uv=jnp.zeros((1, 3, 8, 2)))
+    pts = jnp.asarray((rng.randn(1, 200, 3) * 0.1).astype(np.float32))
+    u = jnp.clip(pts / 1.4, -1, 1)
+    uv = jnp.stack([jnp.stack([u[..., a0], u[..., a1]], -1)
+                    for a0, a1 in T.PLANE_AXES], axis=1)
+    sp = sparse.apply(v, planes, points_uv=uv)
+    feats = T.sample_triplane_sparse(sp, pts, 1.4)
+    assert np.isfinite(np.asarray(feats)).all()
+    assert float(jnp.abs(feats).max()) > 0
+
+
 def test_slab_sampler_matches_taps():
     """The (2,2C)-slab sparse sampler (one gather per point/plane, haloed
     tiles) must match the 4-tap sampler: exactly under full coverage, and

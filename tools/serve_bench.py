@@ -38,7 +38,9 @@ def build(batch: int, frames_per_chunk: int, ablate: str = "none",
           image_size=(512, 512), sparse: bool = False,
           sparse_cap: int = 384, sparse_tile: int = 16,
           splat_segmented: bool = True, upconv: str = "poly",
-          sample_slab: bool = False):
+          sample_slab: bool = False, sparse_pen: bool = False,
+          sparse_pen_cap: int = 128, splat_window: int = 4,
+          want_ctx: bool = False):
     import dataclasses
     import jax
     import jax.numpy as jnp
@@ -60,13 +62,17 @@ def build(batch: int, frames_per_chunk: int, ablate: str = "none",
         upsampler_sparse=sparse,
         upsampler_sparse_max_tiles=sparse_cap,
         upsampler_sparse_tile_px=sparse_tile,
+        upsampler_sparse_penultimate=sparse_pen,
+        upsampler_sparse_pen_max_tiles=sparse_pen_cap,
         splat_segmented=splat_segmented,
+        splat_max_window=splat_window,
         upsampler_upconv=upconv,
         sample_slab=sample_slab,
         # serving: no backward -> no remat; unroll the 2-chunk frame scan so
         # XLA overlaps chunk 0's HBM-bound tail with chunk 1's compute
         frames_scan_remat=False,
-        frames_scan_unroll=8)
+        frames_scan_unroll=8,
+        audio_transformer_remat=False)
     smplx_model = smplx_ops.synthetic_model(seed=0)
     statics = build_renderer_statics(smplx_model,
                                      subdivide_steps=cfg.subdivide_steps,
@@ -129,22 +135,83 @@ def build(batch: int, frames_per_chunk: int, ablate: str = "none",
     params = unbox(variables)["params"]
     print("[serve_bench] init done", flush=True)
 
-    @jax.jit
-    def rollout(params, tri, smpl, aud, cam_chunk):
-        return model.apply({"params": params}, tri, smpl, aud, cam_chunk,
-                           method=rollout_fn)
+    def make_rollout(cfg_v):
+        """Rebuild the model for a cfg VARIANT (same param tree) and jit."""
+        refiner_v = None if cfg_v.no_point_refiner else build_point_refiner(cfg_v)
+        model_v = AudioDrivenAvatar(cfg=cfg_v, num_verts_encoder=nverts_enc,
+                                    point_refiner=refiner_v)
 
-    return rollout, params, (triplanes, smpl_tokens, audio, cam), (B, T_out)
+        @jax.jit
+        def rollout_v(params, tri, smpl, aud, cam_chunk):
+            return model_v.apply({"params": params}, tri, smpl, aud,
+                                 cam_chunk, method=rollout_fn)
+
+        return rollout_v
+
+    rollout = make_rollout(cfg)
+    out = (rollout, params, (triplanes, smpl_tokens, audio, cam), (B, T_out))
+    if want_ctx:
+        return out + ((make_rollout, cfg),)
+    return out
+
+
+def run_sweep(variants, batch=2, frames_per_chunk=6, reps=5,
+              image_size=(512, 512), sparse=False, sparse_cap=384,
+              sparse_tile=16, splat_segmented=True, upconv="poly",
+              sample_slab=False, sparse_pen=False, sparse_pen_cap=128,
+              splat_window=4):
+    """Bench several cfg variants in ONE process, initializing params once.
+
+    `variants`: list of (name, {AvatarConfig field overrides}). Every
+    variant must keep the SAME parameter tree as the base config (knobs
+    like sparse_penultimate / splat_max_window / caps / frames_per_chunk
+    qualify; rgb/sh_degree/feature dims do not) — params are reused, only
+    the model object and the jitted rollout are rebuilt. Saves the ~10 min
+    single-core init trace per config that separate processes pay."""
+    import dataclasses
+    import jax
+
+    rollout, params, args_, (B, T_out), ctx = build(
+        batch, frames_per_chunk, "none", image_size, sparse, sparse_cap,
+        sparse_tile, splat_segmented, upconv, sample_slab, sparse_pen,
+        sparse_pen_cap, splat_window, want_ctx=True)
+    tri, smpl, aud, cam = args_
+    make_rollout, base_cfg = ctx
+
+    def fence(out):
+        r = out[0]
+        return float(r.mean()) if r is not None else float(out[1].mean())
+
+    results = []
+    for name, over in variants:
+        cfg_v = dataclasses.replace(base_cfg, **over)
+        roll_v = make_rollout(cfg_v)
+        print(f"[serve_bench] compiling variant {name}...", flush=True)
+        t0 = time.time()
+        fence(roll_v(params, tri, smpl, aud, cam))
+        compile_s = time.time() - t0
+        t0 = time.time()
+        for _ in range(reps):
+            fence(roll_v(params, tri, smpl, aud, cam))
+        dt = (time.time() - t0) / reps
+        res = {"variant": name, "fps": round((B * T_out) / dt, 2),
+               "rollout_ms": round(dt * 1000.0, 2),
+               "compile_s": round(compile_s, 1)}
+        print(json.dumps(res), flush=True)
+        results.append(res)
+    return results
 
 
 def run(batch=2, frames_per_chunk=6, ablate="none", reps=5,
         image_size=(512, 512), sparse=False, sparse_cap=384, sparse_tile=16,
-        splat_segmented=True, upconv="poly", sample_slab=False):
+        splat_segmented=True, upconv="poly", sample_slab=False,
+        sparse_pen=False, sparse_pen_cap=128, splat_window=4):
     rollout, params, args_, (B, T_out) = build(batch, frames_per_chunk,
                                                ablate, image_size, sparse,
                                                sparse_cap, sparse_tile,
                                                splat_segmented, upconv,
-                                               sample_slab)
+                                               sample_slab, sparse_pen,
+                                               sparse_pen_cap, splat_window)
     tri, smpl, aud, cam = args_
 
     def fence(out):
@@ -183,12 +250,43 @@ def main():
     ap.add_argument("--upconv", default="poly", choices=["poly", "dilated"])
     ap.add_argument("--slab", action="store_true",
                     help="sparse sampling via (2,2C) slab gathers")
+    ap.add_argument("--sparse-pen", action="store_true",
+                    help="sparse penultimate upsample level too")
+    ap.add_argument("--sparse-pen-cap", type=int, default=128)
+    ap.add_argument("--splat-window", type=int, default=4)
+    ap.add_argument("--sweep", default=None,
+                    help="semicolon-separated variants benched in ONE "
+                         "process (shared init): "
+                         "'name:field=val,field=val;name2:...' — fields are "
+                         "AvatarConfig overrides on top of the base flags; "
+                         "values parsed as JSON (true/false/ints/strings)")
     a = ap.parse_args()
+    if a.sweep:
+        variants = []
+        for spec in a.sweep.split(";"):
+            name, _, kvs = spec.partition(":")
+            over = {}
+            for kv in filter(None, kvs.split(",")):
+                k, _, v = kv.partition("=")
+                try:
+                    over[k] = json.loads(v)
+                except json.JSONDecodeError:
+                    over[k] = v
+            variants.append((name, over))
+        run_sweep(variants, a.batch, a.frames_per_chunk, a.reps,
+                  tuple(a.image_size), sparse=a.sparse,
+                  sparse_cap=a.sparse_cap, sparse_tile=a.sparse_tile,
+                  splat_segmented=not a.no_splat_segmented, upconv=a.upconv,
+                  sample_slab=a.slab, sparse_pen=a.sparse_pen,
+                  sparse_pen_cap=a.sparse_pen_cap,
+                  splat_window=a.splat_window)
+        return
     res = run(a.batch, a.frames_per_chunk, a.ablate, a.reps,
               tuple(a.image_size), sparse=a.sparse, sparse_cap=a.sparse_cap,
               sparse_tile=a.sparse_tile,
               splat_segmented=not a.no_splat_segmented, upconv=a.upconv,
-              sample_slab=a.slab)
+              sample_slab=a.slab, sparse_pen=a.sparse_pen,
+              sparse_pen_cap=a.sparse_pen_cap, splat_window=a.splat_window)
     print(json.dumps({k: (round(v, 2) if isinstance(v, float) else v)
                       for k, v in res.items()}))
 

@@ -59,6 +59,13 @@ def main():
                                    render_frames_segmented(
                                        *args, W, H, max_per_tile=a.k,
                                        max_window=a.window))
+    if "segmented_w2" in a.paths:
+        # smaller candidate window: quarter-size binning sort; max_err vs
+        # the first path quantifies the clipping error of W=2
+        fns["segmented_w2"] = jax.jit(lambda *args: splat_pallas.
+                                      render_frames_segmented(
+                                          *args, W, H, max_per_tile=a.k,
+                                          max_window=2))
     if "frames_pallas" in a.paths:
         fns["frames_pallas"] = jax.jit(lambda *args: splat_pallas.
                                        render_frames_pallas(

@@ -21,13 +21,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(os.path.dirname(os.path.dirname(
                           os.path.abspath(__file__))), ".jax_cache"))
+# tensorboard_plugin_profile ships pre-protoc-3.19 _pb2 modules; the C++
+# protobuf runtime in this image refuses them — force the pure-python one.
+os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
 
 
-def capture(out_dir, batch, frames, sparse, cap, tile, reps=3):
+def capture(out_dir, batch, frames, sparse, cap, tile, upconv="poly", reps=3):
     import jax
     from serve_bench import build
     rollout, params, args_, _ = build(batch, frames, "none", (512, 512),
-                                      sparse, cap, tile)
+                                      sparse, cap, tile, upconv=upconv)
     tri, smpl, aud, cam = args_
 
     def fence(out):
@@ -74,6 +77,54 @@ def analyze(out_dir, top):
     csv_path = os.path.join(out_dir, "hlo_stats.csv")
     if os.path.exists(csv_path):
         summarize_hlo_csv(csv_path, top)
+    fw_path = os.path.join(out_dir, "framework_op_stats.csv")
+    if os.path.exists(fw_path):
+        summarize_components(fw_path)
+
+
+def summarize_components(fw_path, reps=3):
+    """Bucket device self-time by pipeline component from the jax scope
+    names in framework_op_stats (gviz JSON)."""
+    try:
+        raw = json.loads(open(fw_path).read())
+    except Exception:
+        return
+    d = raw[0] if isinstance(raw, list) else raw
+    cols = [c["id"] for c in d["cols"]]
+    idx = {c: i for i, c in enumerate(cols)}
+
+    def get(r, cid):
+        v = r["c"][idx[cid]]
+        return v["v"] if v else None
+
+    buckets = {}
+    for r in d["rows"]:
+        if get(r, "host_or_device") != "Device":
+            continue
+        t = get(r, "total_self_time") or 0
+        name = str(get(r, "operation"))
+        if "flash_attention" in name or "audio_triplane" in name:
+            b = "audio_transformer"
+        elif "point_refiner" in name:
+            b = "ptv3_refiner"
+        elif "upsampler" in name:
+            b = "upsampler"
+        elif "pallas_call" in name or "argsort" in name or "/sort" in name:
+            b = "splat_kernel+sorts"
+        elif "_render_frame" in name and ("gather" in name or "_take" in name):
+            b = "sampling_gathers"
+        elif "IDLE" in name:
+            b = "idle"
+        elif "_render_frame" in name or "renderer" in name:
+            b = "renderer_other"
+        else:
+            b = "other"
+        buckets[b] = buckets.get(b, 0.0) + t
+    tot = sum(buckets.values())
+    print(f"\n== component buckets (/{reps} reps -> per-rollout ms; "
+          f"total {tot/(reps*1e3):.0f}) ==")
+    for b, t in sorted(buckets.items(), key=lambda kv: -kv[1]):
+        print(f"{b:24s} {t/(reps*1e3):8.1f}")
 
 
 def summarize_hlo_csv(csv_path, top):
@@ -129,13 +180,14 @@ def main():
     ap.add_argument("--sparse-cap", type=int, default=256)
     ap.add_argument("--sparse-tile", type=int, default=16)
     ap.add_argument("--top", type=int, default=50)
+    ap.add_argument("--upconv", default="poly", choices=["poly", "dilated"])
     ap.add_argument("--out", default="/tmp/ama_trace")
     ap.add_argument("--analyze-only", action="store_true")
     a = ap.parse_args()
     if not a.analyze_only:
         os.makedirs(a.out, exist_ok=True)
         capture(a.out, a.batch, a.frames_per_chunk, a.sparse, a.sparse_cap,
-                a.sparse_tile)
+                a.sparse_tile, upconv=a.upconv)
     analyze(a.out, a.top)
 
 
