@@ -63,6 +63,7 @@ def build_avatar_config(cfg: Config) -> AvatarConfig:
         frames_scan_remat=rd.get("frames_scan_remat", True),
         frames_scan_unroll=rd.get("frames_scan_unroll", 1),
         audio_transformer_remat=an.get("transformer_remat", True),
+        audio_attn_impl=an.get("attn_impl", "flash"),
         image_feature_dim=se.image_feature_dim,
         vit_depth=se.get("vit_depth", 40),
         vit_heads=se.get("vit_heads", 24),

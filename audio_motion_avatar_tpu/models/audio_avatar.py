@@ -61,6 +61,7 @@ class AudioDrivenAvatar(nn.Module):
             compute_dtype=(jnp.bfloat16 if c.compute_dtype == "bfloat16"
                            else None),
             remat=c.audio_transformer_remat,
+            attn_impl=c.audio_attn_impl,
             name="audio_triplane")
 
     def __call__(self, statics: RendererStatics,

@@ -101,6 +101,7 @@ class AudioTriplaneNet(nn.Module):
     # (forward-only) turns it off — remat barriers hurt XLA scheduling
     # even with no backward pass (same finding as the renderer frame scan).
     remat: bool = True
+    attn_impl: str = "flash"   # 'flash' | 'splash' (see models.transformer)
 
     @nn.compact
     def __call__(self, audio_features: jnp.ndarray,
@@ -131,6 +132,7 @@ class AudioTriplaneNet(nn.Module):
             # the last block + proj_out compute only those queries (exact).
             final_tail=S_tri + L,
             remat=self.remat,
+            flash_impl=self.attn_impl,
             name="transformer")
 
         tri_motion = tri_reducer(triplane_tokens)      # (B, C, S_tri)

@@ -99,6 +99,10 @@ class AvatarConfig:
     # Remat over the audio AR transformer's blocks (48 applications per
     # rollout): training yes, serving no — same barrier cost as above.
     audio_transformer_remat: bool = True
+    # Pallas self-attention kernel in the audio transformer: 'flash'
+    # (differentiable — training) or 'splash' (forward-only, ~5% faster at
+    # B=2 S=6304; serving).
+    audio_attn_impl: str = "flash"
 
     @classmethod
     def default(cls) -> "AvatarConfig":

@@ -67,6 +67,11 @@ class Attention(nn.Module):
     # (tools/attn_probe.py): flash q1024/k1024 = 2.76 ms vs XLA bf16
     # materialized = 4.11 ms per layer. Opt-in per call site.
     use_flash: bool = False
+    # Pallas kernel choice when use_flash: 'flash' (jax flash_attention,
+    # differentiable — training path) or 'splash' (splash-attention MHA,
+    # forward-only serving; measured 4.55 vs 4.79 ms/layer at B=2 S=6304,
+    # tools/attn_probe.py).
+    flash_impl: str = "flash"
     # Compute only the last q_tail query positions (keys/values full).
     q_tail: Optional[int] = None
 
@@ -111,7 +116,8 @@ class Attention(nn.Module):
                     and S >= FLASH_MIN_SEQ
                     and jax.default_backend() == "tpu")
         if flash_ok:
-            out = self._flash(q, k, v, scale)
+            impl = self._splash if self.flash_impl == "splash" else self._flash
+            out = impl(q, k, v, scale)
         else:
             logits = jnp.einsum("bshd,bthd->bhst", q, k) * scale
             if mask is not None:
@@ -164,6 +170,44 @@ class Attention(nn.Module):
                                  sm_scale=scale, block_sizes=bs)
         return out.transpose(0, 2, 1, 3)[:, :S]
 
+    @staticmethod
+    def _splash(q, k, v, scale):
+        """(B, S, H, D) -> (B, S, H, D) via splash-attention (forward-only;
+        q512/kv512 blocks tuned at B=2 S=6304, tools/attn_probe.py)."""
+        from jax.experimental.pallas.ops.tpu.splash_attention import (
+            splash_attention_kernel as sk,
+            splash_attention_mask as sm)
+
+        B, S, H, D = q.shape
+        Skv = k.shape[1]
+        BLOCK = 512
+        Sp = ((S + BLOCK - 1) // BLOCK) * BLOCK
+        Skvp = ((Skv + BLOCK - 1) // BLOCK) * BLOCK
+
+        def p(t, target):
+            return jnp.pad(t, ((0, 0), (0, target - t.shape[1]),
+                               (0, 0), (0, 0)))
+
+        qh = p(q, Sp).transpose(0, 2, 1, 3)  # (B, H, Sp, D)
+        kh = p(k, Skvp).transpose(0, 2, 1, 3)
+        vh = p(v, Skvp).transpose(0, 2, 1, 3)
+        seg_q = jnp.where(jnp.arange(Sp) < S, 1, 2).astype(jnp.int32)
+        seg_q = jnp.broadcast_to(seg_q[None], (B, Sp))
+        seg_kv = jnp.where(jnp.arange(Skvp) < Skv, 1, 2).astype(jnp.int32)
+        seg_kv = jnp.broadcast_to(seg_kv[None], (B, Skvp))
+        mask = sm.MultiHeadMask([sm.FullMask((Sp, Skvp)) for _ in range(H)])
+        bs = sk.BlockSizes(block_q=BLOCK, block_kv=BLOCK,
+                           block_kv_compute=BLOCK)
+        kernel = sk.make_splash_mha(mask=mask, head_shards=1, q_seq_shards=1,
+                                    block_sizes=bs)
+
+        def one(qb, kb, vb, sq, skv):
+            return kernel(qb * scale, kb, vb,
+                          segment_ids=sk.SegmentIds(q=sq, kv=skv))
+
+        out = jax.vmap(one)(qh, kh, vh, seg_q, seg_kv)
+        return out.transpose(0, 2, 1, 3)[:, :S]
+
 
 class GEGLUFeedForward(nn.Module):
     """GEGLU MLP (diffusers FeedForward default): proj to 2*mult*dim, split,
@@ -191,6 +235,7 @@ class TransformerBlock(nn.Module):
     context_dim: Optional[int] = None
     dtype: Optional[Dtype] = None
     use_flash: bool = False  # self-attention only; cross KV is tiny
+    flash_impl: str = "flash"
     # When set, only the LAST q_tail query positions are computed (keys and
     # values still span the full sequence) and the output is (B, q_tail, C).
     # Exact for callers that discard the head of the final layer's output —
@@ -204,6 +249,7 @@ class TransformerBlock(nn.Module):
             x = x[:, -self.q_tail:]
         x = x + Attention(self.heads, self.head_dim, self.dim,
                           dtype=self.dtype, use_flash=self.use_flash,
+                          flash_impl=self.flash_impl,
                           q_tail=self.q_tail,
                           name="attn1")(h)
         if self.context_dim is not None:
@@ -231,6 +277,7 @@ class Transformer1D(nn.Module):
     remat: bool = True
     dtype: Optional[Dtype] = None
     use_flash: bool = False
+    flash_impl: str = "flash"
     # When set, the output covers only the LAST final_tail sequence positions
     # ((B, C, final_tail)): the final block computes just those queries and
     # proj_out/residual are sliced to match. Exact for callers that discard
@@ -257,7 +304,8 @@ class Transformer1D(nn.Module):
             tail = self.final_tail if i == self.num_layers - 1 else None
             h = block_cls(self.heads * self.head_dim, self.heads, self.head_dim,
                           context_dim=self.context_dim, dtype=self.dtype,
-                          use_flash=self.use_flash, q_tail=tail,
+                          use_flash=self.use_flash, flash_impl=self.flash_impl,
+                          q_tail=tail,
                           name=f"block_{i}")(h, context)
 
         h = _dense(self.in_channels, ("embed_inner", "embed"),
