@@ -159,7 +159,7 @@ def run_sweep(variants, batch=2, frames_per_chunk=6, reps=5,
               image_size=(512, 512), sparse=False, sparse_cap=384,
               sparse_tile=16, splat_segmented=True, upconv="poly",
               sample_slab=False, sparse_pen=False, sparse_pen_cap=128,
-              splat_window=4):
+              splat_window=4, trace_out=None):
     """Bench several cfg variants in ONE process, initializing params once.
 
     `variants`: list of (name, {AvatarConfig field overrides}). Every
@@ -199,6 +199,16 @@ def run_sweep(variants, batch=2, frames_per_chunk=6, reps=5,
                "compile_s": round(compile_s, 1)}
         print(json.dumps(res), flush=True)
         results.append(res)
+        if trace_out and name == variants[0][0]:
+            # xprof-capture the FIRST variant (the production config) in
+            # the same process — saves a whole init+compile for profiling.
+            # Analyze with: python tools/xprof_trace.py --analyze-only
+            #   --out <trace_out>
+            os.makedirs(trace_out, exist_ok=True)
+            with jax.profiler.trace(trace_out):
+                for _ in range(3):
+                    fence(roll_v(params, tri, smpl, aud, cam))
+            print(f"[serve_bench] trace written to {trace_out}", flush=True)
     return results
 
 
@@ -254,6 +264,9 @@ def main():
                     help="sparse penultimate upsample level too")
     ap.add_argument("--sparse-pen-cap", type=int, default=128)
     ap.add_argument("--splat-window", type=int, default=4)
+    ap.add_argument("--trace-out", default=None,
+                    help="with --sweep: xprof-trace the first variant into "
+                         "this directory after timing it")
     ap.add_argument("--sweep", default=None,
                     help="semicolon-separated variants benched in ONE "
                          "process (shared init): "
@@ -279,7 +292,7 @@ def main():
                   splat_segmented=not a.no_splat_segmented, upconv=a.upconv,
                   sample_slab=a.slab, sparse_pen=a.sparse_pen,
                   sparse_pen_cap=a.sparse_pen_cap,
-                  splat_window=a.splat_window)
+                  splat_window=a.splat_window, trace_out=a.trace_out)
         return
     res = run(a.batch, a.frames_per_chunk, a.ablate, a.reps,
               tuple(a.image_size), sparse=a.sparse, sparse_cap=a.sparse_cap,
