@@ -59,6 +59,7 @@ def build_avatar_config(cfg: Config) -> AvatarConfig:
         sample_slab=rd.get("sample_slab", False),
         splat_segmented=rd.get("splat_segmented", False),
         splat_max_window=rd.get("splat_max_window", 4),
+        splat_large_cap=rd.get("splat_large_cap", 0),
         frames_per_chunk=rd.get("frames_per_chunk", 1),
         frames_scan_remat=rd.get("frames_scan_remat", True),
         frames_scan_unroll=rd.get("frames_scan_unroll", 1),

@@ -94,6 +94,7 @@ class TriplaneGaussianAvatar(nn.Module):
             max_per_tile=c.max_per_tile,
             splat_segmented=c.splat_segmented,
             splat_max_window=c.splat_max_window,
+            splat_large_cap=c.splat_large_cap,
             point_refiner=self.point_refiner,
             compute_dtype=cdt,
             frames_per_chunk=c.frames_per_chunk,

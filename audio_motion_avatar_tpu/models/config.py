@@ -45,6 +45,11 @@ class AvatarConfig:
     # the gather-packed composite_tiles with its custom backward kernel)
     splat_segmented: bool = False
     splat_max_window: int = 4     # sorted-binning tile window (W x W tiles)
+    # two-tier binning for the segmented serving splat: the splat_large_cap
+    # biggest gaussians get the full max_window, the rest a 2x2 window
+    # (0 = single-tier). Exact vs single-tier while at most large_cap
+    # gaussians span >2 tiles.
+    splat_large_cap: int = 0
     # sparse-tile final upsample level (TPU redesign, see models/upsampler):
     # evaluate the 512^2 conv level only on body-covered 16px tiles
     upsampler_sparse: bool = False

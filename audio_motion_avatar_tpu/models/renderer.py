@@ -82,6 +82,9 @@ class Renderer(nn.Module):
     splat_mode: str = "pallas"            # 'pallas' | 'tiles' | 'naive'
     splat_segmented: bool = False         # serving-only fwd path (no VJP)
     splat_max_window: int = 4             # sorted-binning tile window
+    # two-tier binning: the splat_large_cap biggest gaussians get the full
+    # max_window; everything else a 2x2 window (0 = single-tier)
+    splat_large_cap: int = 0
     frames_per_chunk: int = 1             # frames per scan step (memory vs MXU)
     scan_remat: bool = True               # remat the frame scan (training)
     scan_unroll: int = 1                  # lax.scan unroll (serving: chunks)
@@ -231,7 +234,8 @@ class Renderer(nn.Module):
                     gaussians["opacity"][:, :, 0], gaussians["color"],
                     K, E, self.image_width, self.image_height,
                     max_per_tile=self.max_per_tile,
-                    max_window=self.splat_max_window, sh_degree=sh_deg)
+                    max_window=self.splat_max_window, sh_degree=sh_deg,
+                    large_cap=self.splat_large_cap)
             elif mode == "pallas":
                 # F frames' tiles composited as ONE Pallas grid (one kernel
                 # launch); binning stays F independent sorts

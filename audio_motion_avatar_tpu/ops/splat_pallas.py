@@ -284,7 +284,8 @@ composite_tiles.defvjp(_ct_fwd, _ct_bwd)
 
 
 def _pack_sorted_params(proj: splat.Projected, width: int, height: int,
-                        max_per_tile: int, max_window: int):
+                        max_per_tile: int, max_window: int,
+                        large_cap: int = 0, small_window: int = 2):
     """Sort-carrying-values binning for the segment-DMA composite.
 
     The (tile, depth-rank) pair keys are sorted ONCE with the 9 packed
@@ -293,6 +294,17 @@ def _pack_sorted_params(proj: splat.Projected, width: int, height: int,
     Measured on v5e (tools/gather_probe.py): the flat s32 gathers those
     steps lower to run at <1 GB/s and cost ~14 ms/frame at serving scale;
     the value-carrying sort costs ~4 ms.
+
+    large_cap > 0 enables TWO-TIER binning: every gaussian emits a
+    small_window^2 candidate block, and the `large_cap` largest-radius
+    gaussians spanning more than small_window tiles emit a full
+    max_window^2 block instead. The sorted candidate list shrinks ~3x
+    (30k*16 -> 30k*4 + 2k*16) while staying EXACT vs the single-tier
+    max_window binning whenever at most `large_cap` gaussians span more
+    than small_window tiles; overflow beyond the cap degrades those
+    gaussians to small_window clipping (the CUDA reference's unbounded
+    per-gaussian tile ranges, renderer.py:516-566, have no static-shape
+    equivalent — the cap is the TPU answer).
 
     Returns (params_sorted (16, NP + K) f32 — 9 param rows padded to the
     sublane tile and a K-column guard so a K-slice starting at any segment
@@ -303,7 +315,6 @@ def _pack_sorted_params(proj: splat.Projected, width: int, height: int,
     n_tiles = tx * ty
     n = proj.mean2d.shape[0]
     K = min(max_per_tile, n)
-    W = max_window
 
     order = jnp.argsort(proj.depth)
     mean2d = proj.mean2d[order]
@@ -323,30 +334,51 @@ def _pack_sorted_params(proj: splat.Projected, width: int, height: int,
     y0 = jnp.clip(y0r, 0, ty - 1).astype(jnp.int32)
     y1 = jnp.clip(y1r, 0, ty - 1).astype(jnp.int32)
 
-    off = jnp.arange(W, dtype=jnp.int32)
-    gx = x0[:, None] + off[None, :]
-    gy = y0[:, None] + off[None, :]
-    vx = (gx <= x1[:, None]) & (gx < tx)
-    vy = (gy <= y1[:, None]) & (gy < ty)
-    tile_id = gy[:, :, None] * tx + gx[:, None, :]          # (N, W, W)
-    valid = vy[:, :, None] & vx[:, None, :] & alive[:, None, None]
-
     rank = jnp.arange(n, dtype=jnp.int32)
     rank_bits = max(1, (n - 1).bit_length())
     assert (n_tiles + 1) << rank_bits <= 2 ** 31 - 1, (n_tiles, rank_bits)
-    key = jnp.where(valid,
-                    (tile_id << rank_bits) | rank[:, None, None],
-                    jnp.int32(n_tiles << rank_bits)).reshape(-1)
 
-    NP = n * W * W
+    def emit(x0e, y0e, x1e, y1e, alive_e, rank_e, W):
+        off = jnp.arange(W, dtype=jnp.int32)
+        gx = x0e[:, None] + off[None, :]
+        gy = y0e[:, None] + off[None, :]
+        vx = (gx <= x1e[:, None]) & (gx < tx)
+        vy = (gy <= y1e[:, None]) & (gy < ty)
+        tile_id = gy[:, :, None] * tx + gx[:, None, :]      # (m, W, W)
+        valid = vy[:, :, None] & vx[:, None, :] & alive_e[:, None, None]
+        return jnp.where(valid,
+                         (tile_id << rank_bits) | rank_e[:, None, None],
+                         jnp.int32(n_tiles << rank_bits)).reshape(-1)
 
-    def rep(v):
-        return jnp.broadcast_to(v[:, None], (n, W * W)).reshape(-1)
+    def rep(v, W):
+        return jnp.broadcast_to(
+            v[:, None], (v.shape[0], W * W)).reshape(-1)
 
-    payload = [rep(mean2d[:, 0]), rep(mean2d[:, 1]),
-               rep(conic[:, 0]), rep(conic[:, 1]), rep(conic[:, 2]),
-               rep(opac),
-               rep(color[:, 0]), rep(color[:, 1]), rep(color[:, 2])]
+    cols = (mean2d[:, 0], mean2d[:, 1],
+            conic[:, 0], conic[:, 1], conic[:, 2], opac,
+            color[:, 0], color[:, 1], color[:, 2])
+
+    two_tier = large_cap > 0 and max_window > small_window and \
+        large_cap < n
+    if not two_tier:
+        W = max_window
+        key = emit(x0, y0, x1, y1, alive, rank, W)
+        payload = [rep(v, W) for v in cols]
+    else:
+        WS, WL = small_window, max_window
+        KL = large_cap
+        span_big = ((x1 - x0) >= WS) | ((y1 - y0) >= WS)
+        score = jnp.where(span_big & alive, radius, -1.0)
+        _, bidx = jax.lax.top_k(score, KL)                  # unique indices
+        sel = score[bidx] > 0
+        is_b = jnp.zeros((n,), bool).at[bidx].set(sel)
+        key_a = emit(x0, y0, x1, y1, alive & ~is_b, rank, WS)
+        key_b = emit(x0[bidx], y0[bidx], x1[bidx], y1[bidx], sel, bidx, WL)
+        key = jnp.concatenate([key_a, key_b])
+        payload = [jnp.concatenate([rep(v, WS), rep(v[bidx], WL)])
+                   for v in cols]
+
+    NP = key.shape[0]
     sorted_all = jax.lax.sort((key,) + tuple(payload), num_keys=1)
     keys_sorted = sorted_all[0]
     params_sorted = jnp.stack(sorted_all[1:], axis=0)       # (9, NP)
@@ -478,10 +510,11 @@ def render_frames_segmented(xyz: jnp.ndarray, rot: jnp.ndarray,
                             colors: jnp.ndarray, K: jnp.ndarray,
                             E: jnp.ndarray, width: int, height: int,
                             max_per_tile: int = 512, max_window: int = 8,
-                            sh_degree=None) -> jnp.ndarray:
+                            sh_degree=None, large_cap: int = 0) -> jnp.ndarray:
     """Serving fast path: F frames, value-carrying sort binning + ONE
     segment-DMA composite grid. Identical output to render_frames_pallas;
-    forward-only (no VJP — the training path keeps composite_tiles)."""
+    forward-only (no VJP — the training path keeps composite_tiles).
+    large_cap > 0 enables two-tier binning (see _pack_sorted_params)."""
     from .splat import (activate_scales, activate_opacity, make_camera,
                         project_gaussians, sh_colors)
     assert width % TILE == 0 and height % TILE == 0
@@ -503,7 +536,8 @@ def render_frames_segmented(xyz: jnp.ndarray, rot: jnp.ndarray,
         o1 = o.squeeze(-1) if o.ndim == 2 else o
         proj = project_gaussians(xyz[f], rot[f], activate_scales(raw_scales[f]),
                                  activate_opacity(o1), rgb, cam)
-        p, s, c = _pack_sorted_params(proj, width, height, Kcap, max_window)
+        p, s, c = _pack_sorted_params(proj, width, height, Kcap, max_window,
+                                      large_cap=large_cap)
         params_l.append(p)
         starts_l.append(s + f * p.shape[1])
         counts_l.append(c)

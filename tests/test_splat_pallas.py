@@ -186,3 +186,52 @@ def test_render_frames_pallas_matches_render_one():
         seg = np.asarray(splat_pallas.render_frames_segmented(
             xyz, rot, s, o, c, K, E, W, H, max_per_tile=64, max_window=4))
     np.testing.assert_allclose(seg, batched, atol=2e-5)
+
+
+@pytest.mark.quick
+def test_two_tier_binning_matches_single_tier():
+    """Two-tier binning (generous large cap) must produce IDENTICAL per-tile
+    segments to the single-tier max_window sort: every gaussian spanning
+    more than 2 tiles rides the large list at full window, the rest emit
+    2x2 blocks; merged (tile, depth-rank) keys sort to the same segments."""
+    proj = make_proj(n=200, seed=3)
+    w = h = 64
+    kcap = 64
+    p1, s1, c1 = splat_pallas._pack_sorted_params(proj, w, h, kcap,
+                                                  max_window=4)
+    p2, s2, c2 = splat_pallas._pack_sorted_params(proj, w, h, kcap,
+                                                  max_window=4,
+                                                  large_cap=128)
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+    c1n = np.asarray(c1)
+    for t in range(s1.shape[0]):
+        a = np.asarray(p1[:9, int(s1[t]):int(s1[t]) + c1n[t]])
+        b = np.asarray(p2[:9, int(s2[t]):int(s2[t]) + c1n[t]])
+        np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.quick
+def test_two_tier_binning_overflow_degrades_gracefully():
+    """With a too-small large cap, overflow gaussians fall back to 2x2
+    clipping: per-tile segments are SUBSETS of the single-tier ones (never
+    extra or reordered entries), counts never larger."""
+    proj = make_proj(n=200, seed=4)
+    w = h = 64
+    kcap = 200   # uncapped: K-truncation would break the subset property
+    p1, s1, c1 = splat_pallas._pack_sorted_params(proj, w, h, kcap,
+                                                  max_window=4)
+    p2, s2, c2 = splat_pallas._pack_sorted_params(proj, w, h, kcap,
+                                                  max_window=4, large_cap=2)
+    c1n, c2n = np.asarray(c1), np.asarray(c2)
+    assert (c2n <= c1n).all()
+    for t in range(s1.shape[0]):
+        a = np.asarray(p1[0, int(s1[t]):int(s1[t]) + c1n[t]])   # mx row
+        b = np.asarray(p2[0, int(s2[t]):int(s2[t]) + c2n[t]])
+        # subset in order: every two-tier entry appears in the single-tier
+        # segment, in the same relative (depth) order
+        ai = 0
+        for x in b:
+            while ai < len(a) and a[ai] != x:
+                ai += 1
+            assert ai < len(a), "two-tier emitted an entry single-tier lacks"
+            ai += 1

@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--k", type=int, default=512)
     ap.add_argument("--size", type=int, nargs=2, default=[512, 512])
     ap.add_argument("--window", type=int, default=4)
+    ap.add_argument("--large", type=int, default=2048,
+                    help="two-tier large-gaussian cap (segmented_2tier)")
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--paths", nargs="+",
                     default=["segmented", "frames_pallas"])
@@ -66,6 +68,15 @@ def main():
                                       render_frames_segmented(
                                           *args, W, H, max_per_tile=a.k,
                                           max_window=2))
+    if "segmented_2tier" in a.paths:
+        # two-tier binning: all gaussians 2x2 + top-`large` at full window;
+        # max_err vs the first path quantifies the overflow clipping (0 when
+        # <= `large` gaussians span >2 tiles)
+        fns["segmented_2tier"] = jax.jit(lambda *args: splat_pallas.
+                                         render_frames_segmented(
+                                             *args, W, H, max_per_tile=a.k,
+                                             max_window=a.window,
+                                             large_cap=a.large))
     if "frames_pallas" in a.paths:
         fns["frames_pallas"] = jax.jit(lambda *args: splat_pallas.
                                        render_frames_pallas(
