@@ -57,6 +57,7 @@ def build_avatar_config(cfg: Config) -> AvatarConfig:
                                               128),
         upsampler_upconv=rd.get("upsampler_upconv", "poly"),
         sample_slab=rd.get("sample_slab", False),
+        sample_quad=rd.get("sample_quad", False),
         splat_segmented=rd.get("splat_segmented", False),
         splat_max_window=rd.get("splat_max_window", 4),
         splat_large_cap=rd.get("splat_large_cap", 0),

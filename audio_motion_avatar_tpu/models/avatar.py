@@ -109,6 +109,7 @@ class TriplaneGaussianAvatar(nn.Module):
             upsampler_sparse_pen_max_tiles=c.upsampler_sparse_pen_max_tiles,
             upsampler_upconv=c.upsampler_upconv,
             sample_slab=c.sample_slab,
+            sample_quad=c.sample_quad,
             name="renderer")
 
     def __call__(self, statics: RendererStatics, images: jnp.ndarray,

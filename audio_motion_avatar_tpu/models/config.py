@@ -60,6 +60,9 @@ class AvatarConfig:
     upsampler_sparse_pen_max_tiles: int = 128
     upsampler_upconv: str = "poly"  # 'poly' | 'dilated' exact upconv twins
     sample_slab: bool = False       # sparse sampling via 2x2 slab gathers
+    # sparse sampling via ONE quad-row gather per point/plane (descriptor-
+    # bound take: a 4C row costs the same as a C row — gather_probe A1/A6)
+    sample_quad: bool = False
     # sapiens_encoder.yaml
     image_feature_dim: int = 1536
     vit_depth: int = 40

@@ -101,6 +101,10 @@ class Renderer(nn.Module):
     # Sparse sampling via one (2,2C) slab gather per point/plane (halves
     # gathered rows vs the 4-tap form; see ops.triplane.tile_halo).
     sample_slab: bool = False
+    # Sparse sampling via ONE quad-row gather per point/plane (row gathers
+    # are descriptor-bound — see ops.triplane.quad_rows). Wins over both
+    # the 4-tap and slab forms; takes precedence over sample_slab.
+    sample_quad: bool = False
 
     def setup(self):
         if self.upsample_triplane:
@@ -174,12 +178,21 @@ class Renderer(nn.Module):
             # per-plane grid_sample coords of the body points drive the
             # covered-tile selection (the halo covers refiner offsets)
             u = jnp.clip(points / self.radius, -1.0, 1.0)    # (F, N, 3)
-            from ..ops.triplane import (PLANE_AXES, sample_triplane_sparse,
-                                        sample_triplane_sparse_slab, tile_halo)
+            from ..ops.triplane import (PLANE_AXES, quad_rows,
+                                        sample_triplane_sparse,
+                                        sample_triplane_sparse_slab,
+                                        sample_triplane_sparse_quad,
+                                        tile_halo)
             uv = jnp.stack([jnp.stack([u[..., a0], u[..., a1]], axis=-1)
                             for a0, a1 in PLANE_AXES], axis=1)  # (F,3,N,2)
             planes = self.upsampler(planes_lr, points_uv=uv)
-            if self.sample_slab:
+            if self.sample_quad:
+                # quad layout built ONCE, shared by both sampling passes
+                q = jax.vmap(jax.vmap(
+                    lambda t, s: quad_rows(t, s, planes.grid)))(
+                        planes.tiles, planes.slot)
+                sample = partial(sample_triplane_sparse_quad, planes, q)
+            elif self.sample_slab:
                 # halo built ONCE, shared by the pre- and post-refiner passes
                 th = jax.vmap(jax.vmap(
                     lambda t, s: tile_halo(t, s, planes.grid)))(

@@ -361,6 +361,68 @@ def sample_triplane_sparse_slab(sp, tiles_h: jnp.ndarray, points: jnp.ndarray,
     return jax.vmap(one)(tiles_h, sp.slot, u).astype(jnp.float32)
 
 
+def quad_rows(tiles: jnp.ndarray, slot: jnp.ndarray, grid: int) -> jnp.ndarray:
+    """Redundant QUAD layout for descriptor-bound sampling: (cap, T, T, C)
+    -> (cap, T, T, 4C) where row (s, y, x) is the full 2x2 bilinear block
+    [t(y,x) | t(y,x+1) | t(y+1,x) | t(y+1,x+1)] (cross-tile taps via
+    tile_halo).
+
+    TPU row gathers are DESCRIPTOR-bound, not byte-bound: a (180k, 1024)
+    bf16 take costs the same as a (180k, 256) one (tools/gather_probe.py
+    A1 vs A6), so storing each footprint as ONE row turns 4 tap gathers
+    into 1 — ~4x on the sampling bucket (xprof: 173 ms/rollout). The 4x
+    storage is transient (built per chunk, shared by both sampling passes).
+    """
+    T = tiles.shape[1]
+    th = tile_halo(tiles, slot, grid)                  # (cap, T+1, T+1, C)
+    return jnp.concatenate(
+        [th[:, :T, :T], th[:, :T, 1:T + 1],
+         th[:, 1:T + 1, :T], th[:, 1:T + 1, 1:T + 1]], axis=-1)
+
+
+def grid_sample_2d_sparse_quad(quad: jnp.ndarray, slot: jnp.ndarray,
+                               grid_xy: jnp.ndarray, grid: int, tile_px: int,
+                               res: int) -> jnp.ndarray:
+    """`grid_sample_2d_sparse` as ONE row gather per point from the quad
+    layout (`quad_rows`). Same top-left-texel tile routing as the slab
+    sampler: differs from the 4-tap form only for points outside the
+    halo'd coverage (reads 0). Exact under full coverage — tested."""
+    cap, T, _, C4 = quad.shape
+    C = C4 // 4
+    rows = quad.reshape(cap * T * T, C4)
+    x = (grid_xy[:, 0] + 1.0) * (res * 0.5) - 0.5
+    y = (grid_xy[:, 1] + 1.0) * (res * 0.5) - 0.5
+    sx, ax0, ax1 = _lane_weights(x, res)
+    sy, ay0, ay1 = _lane_weights(y, res)
+    tid = (sy // tile_px) * grid + (sx // tile_px)
+    sl = slot[tid]                                     # (N,), -1 if absent
+    ok = (sl >= 0).astype(jnp.float32)
+    sc = jnp.clip(sl, 0)
+    idx = sc * (T * T) + (sy % tile_px) * T + (sx % tile_px)
+    v = jnp.take(rows, idx, axis=0).reshape(-1, 4, C).astype(jnp.float32)
+    w = jnp.stack([ay0 * ax0, ay0 * ax1, ay1 * ax0, ay1 * ax1],
+                  axis=1) * ok[:, None]                # (N, 4)
+    return (v * w[:, :, None]).sum(axis=1)
+
+
+def sample_triplane_sparse_quad(sp, quad: jnp.ndarray, points: jnp.ndarray,
+                                radius: float) -> jnp.ndarray:
+    """`sample_triplane_sparse` via the quad-row gather. quad: (B, 3, cap,
+    T, T, 4C) from `quad_rows` — build ONCE per plane set and reuse across
+    sampling passes (the renderer samples twice)."""
+    u = jnp.clip(points / radius, -1.0, 1.0)
+
+    def one(q_b, slot_b, uu):
+        feats = []
+        for pi, (a0, a1) in enumerate(PLANE_AXES):
+            g = jnp.stack([uu[:, a0], uu[:, a1]], axis=-1)
+            feats.append(grid_sample_2d_sparse_quad(
+                q_b[pi], slot_b[pi], g, sp.grid, sp.tile_px, sp.res))
+        return jnp.concatenate(feats, axis=-1)
+
+    return jax.vmap(one)(quad, sp.slot, u).astype(jnp.float32)
+
+
 def sample_triplane_sparse(sp, points: jnp.ndarray,
                            radius: float) -> jnp.ndarray:
     """`sample_triplane` over SparseTriplanes: (B, N, 3) world points ->

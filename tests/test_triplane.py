@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import torch
 import torch.nn.functional as F
 import jax.numpy as jnp
@@ -346,3 +347,78 @@ def test_dilated_upconv_twin_matches_poly():
     d = sp_dil.apply(v, planes, points_uv=uv)
     np.testing.assert_allclose(np.asarray(d.tiles), np.asarray(a.tiles),
                                atol=3e-5, rtol=1e-4)
+
+
+@pytest.mark.quick
+def test_quad_sampler_matches_taps():
+    """The quad-row sparse sampler (ONE gather per point/plane) must match
+    the 4-tap sampler: exactly under full coverage, and on every
+    all-taps-covered point under partial coverage."""
+    import jax.numpy as jnp
+    from audio_motion_avatar_tpu.ops import triplane as T
+
+    rng = np.random.RandomState(12)
+    grid, tile, C = 4, 8, 16
+    res = grid * tile
+    G2 = grid * grid
+    pts = jnp.asarray((rng.rand(400, 2) * 2.4 - 1.2).astype(np.float32))
+
+    tiles = jnp.asarray(rng.randn(G2, tile, tile, C).astype(np.float32))
+    slot = jnp.arange(G2, dtype=np.int32)
+    a = T.grid_sample_2d_sparse(tiles, slot, pts, grid, tile, res)
+    b = T.grid_sample_2d_sparse_quad(T.quad_rows(tiles, slot, grid),
+                                     slot, pts, grid, tile, res)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-6)
+
+    keep = np.ones(G2, bool)
+    keep[[2, 5, 13]] = False
+    slot2 = np.full(G2, -1, np.int32)
+    slot2[keep] = np.arange(int(keep.sum()))
+    tiles2 = jnp.asarray(rng.randn(int(keep.sum()), tile, tile, C)
+                         .astype(np.float32))
+    a2 = T.grid_sample_2d_sparse(tiles2, slot2, pts, grid, tile, res)
+    b2 = T.grid_sample_2d_sparse_quad(T.quad_rows(tiles2, slot2, grid),
+                                      slot2, pts, grid, tile, res)
+    x0 = np.floor((np.asarray(pts[:, 0]) + 1) * res / 2 - 0.5).astype(int)
+    y0 = np.floor((np.asarray(pts[:, 1]) + 1) * res / 2 - 0.5).astype(int)
+
+    def covered(xi, yi):
+        inb = (xi >= 0) & (xi < res) & (yi >= 0) & (yi < res)
+        t = (np.clip(yi, 0, res - 1) // tile) * grid + \
+            (np.clip(xi, 0, res - 1) // tile)
+        return ~inb | (slot2[t] >= 0)
+
+    m = (covered(x0, y0) & covered(x0 + 1, y0)
+         & covered(x0, y0 + 1) & covered(x0 + 1, y0 + 1))
+    assert m.sum() > 100
+    np.testing.assert_allclose(np.asarray(b2)[m], np.asarray(a2)[m],
+                               atol=1e-6)
+
+
+@pytest.mark.quick
+def test_sample_triplane_sparse_quad_full_pipeline():
+    """sample_triplane_sparse_quad over a full-coverage SparseTriplanes
+    equals sample_triplane_sparse (3 planes, batched)."""
+    import jax
+    import jax.numpy as jnp
+    from audio_motion_avatar_tpu.models.upsampler import TriplaneUpsampler
+    from audio_motion_avatar_tpu.ops import triplane as T
+
+    rng = np.random.RandomState(13)
+    C, R = 32, 16
+    planes = jnp.asarray(rng.randn(1, 3, C, R, R).astype(np.float32))
+    up = TriplaneUpsampler(C, 1, sparse_final=True, sparse_max_tiles=4,
+                           sparse_tile_px=16)     # 32^2 out, grid 2, all
+    pts = jnp.asarray((rng.randn(1, 300, 3) * 0.5).astype(np.float32))
+    u = jnp.clip(pts / 1.4, -1, 1)
+    uv = jnp.stack([jnp.stack([u[..., a0], u[..., a1]], -1)
+                    for a0, a1 in T.PLANE_AXES], axis=1)
+    v = up.init(jax.random.PRNGKey(0), planes, points_uv=uv)
+    sp = up.apply(v, planes, points_uv=uv)
+    assert bool(sp.valid.all())
+    q = jax.vmap(jax.vmap(lambda t, s: T.quad_rows(t, s, sp.grid)))(
+        sp.tiles, sp.slot)
+    f_taps = T.sample_triplane_sparse(sp, pts, 1.4)
+    f_quad = T.sample_triplane_sparse_quad(sp, q, pts, 1.4)
+    np.testing.assert_allclose(np.asarray(f_quad), np.asarray(f_taps),
+                               atol=1e-5, rtol=1e-5)

@@ -68,6 +68,26 @@ def main():
     fp32_table = table_bf16.astype(jnp.float32)
     bench(f, fp32_table, idx, name="A4 row-gather f32 random idx")
 
+    # A5/A6: is take descriptor-bound (row width ~free)? If A5 ~ A1, a
+    # redundant 4C quad-row layout (one row = the 2x2 bilinear block)
+    # replaces 4 tap gathers with ONE -> ~4x on the sampling bucket.
+    table_2c = jnp.asarray(rng.randn(ROWS // 2, 2 * C).astype(np.float32)).astype(jnp.bfloat16)
+    idx2 = jnp.asarray(rng.randint(0, ROWS // 2, NIDX).astype(np.int32))
+    bench(f, table_2c, idx2, name="A5 row-gather bf16 (180k x 512) 2C rows")
+    table_4c = jnp.asarray(rng.randn(ROWS // 4, 4 * C).astype(np.float32)).astype(jnp.bfloat16)
+    idx4 = jnp.asarray(rng.randint(0, ROWS // 4, NIDX).astype(np.int32))
+    bench(f, table_4c, idx4, name="A6 row-gather bf16 (180k x 1024) 4C rows")
+    # A7: the quad-layout BUILD cost at serving scale (12 plane-frames of
+    # (256,17,17,256) haloed tiles -> (256,16,16,1024) quad rows)
+    th = jnp.asarray(rng.randn(12, 256, 17, 17, C).astype(np.float32)).astype(jnp.bfloat16)
+
+    def build_quad(t):
+        return jnp.concatenate(
+            [t[:, :, :16, :16], t[:, :, :16, 1:17],
+             t[:, :, 1:17, :16], t[:, :, 1:17, 1:17]], axis=-1)
+    bench(jax.jit(lambda t: build_quad(t).sum()), th,
+          name="A7 quad-layout build (12 x 256 tiles, 17^2 halo -> 4C)")
+
     # ---- case B: flat s32 gathers (splat binning) ----
     NPAIR, TK = 480000, 1024 * 512
     vals = jnp.asarray(rng.randint(0, 30000, NPAIR).astype(np.int32))
