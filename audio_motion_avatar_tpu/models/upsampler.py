@@ -143,7 +143,13 @@ def select_tiles(points_uv: jnp.ndarray, grid: int, cap: int,
     cx = jnp.clip(cell[:, 0], 0, grid - 1).astype(jnp.int32)
     cy = jnp.clip(cell[:, 1], 0, grid - 1).astype(jnp.int32)
     tid = cy * grid + cx
-    counts = jnp.zeros((G2,), jnp.float32).at[tid].add(1.0)
+    # histogram as compare-and-reduce, not scatter-add: XLA lowers .at[].add
+    # to a serialized scatter (xprof: 4.7 ms per plane set at ~0 GiB/s); the
+    # fused (N, G2) one-hot reduce rides the VPU at memory speed. Same
+    # integer counts.
+    counts = jnp.sum(
+        (tid[:, None] == jnp.arange(G2, dtype=jnp.int32)[None, :])
+        .astype(jnp.float32), axis=0)
     cmap = counts.reshape(grid, grid)
     # 3x3 dilation (halo) keeping a count-based priority
     k = jnp.ones((3, 3, 1, 1), jnp.float32)

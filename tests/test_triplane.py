@@ -422,3 +422,38 @@ def test_sample_triplane_sparse_quad_full_pipeline():
     f_quad = T.sample_triplane_sparse_quad(sp, q, pts, 1.4)
     np.testing.assert_allclose(np.asarray(f_quad), np.asarray(f_taps),
                                atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.quick
+def test_select_tiles_histogram_matches_scatter():
+    """The one-hot-reduce tile histogram inside select_tiles produces the
+    same coverage/priority as a scatter-add histogram (the form it
+    replaced; xprof: the scatter serialized at ~0 GiB/s)."""
+    import jax.numpy as jn
+    from audio_motion_avatar_tpu.models.upsampler import select_tiles
+
+    rng = np.random.RandomState(7)
+    grid, cap, tile_px = 8, 20, 16
+    uv = jn.asarray(rng.uniform(-1, 1, size=(500, 2)).astype(np.float32))
+    tile_ids, valid, slot = select_tiles(uv, grid, cap, tile_px)
+
+    # scatter-add oracle (identical math to the pre-optimization form)
+    u = np.clip(np.asarray(uv), -1.0, 1.0)
+    cell = np.floor((u + 1.0) * (grid / 2.0) - 0.5 / tile_px)
+    cx = np.clip(cell[:, 0], 0, grid - 1).astype(np.int32)
+    cy = np.clip(cell[:, 1], 0, grid - 1).astype(np.int32)
+    tid = cy * grid + cx
+    counts = np.zeros(grid * grid, np.float32)
+    np.add.at(counts, tid, 1.0)
+    # every covered tile (incl. 3x3 halo) must appear among valid tiles
+    import scipy.ndimage as ndi
+    dil = ndi.convolve(counts.reshape(grid, grid), np.ones((3, 3)),
+                       mode="constant").reshape(-1)
+    got = set(np.asarray(tile_ids)[np.asarray(valid)].tolist())
+    want = set(np.nonzero(dil > 0)[0].tolist())
+    if len(want) <= cap:
+        assert got == want
+    # slot is consistent
+    sl = np.asarray(slot)
+    for s, t in enumerate(np.asarray(tile_ids)[np.asarray(valid)]):
+        assert sl[t] == s
