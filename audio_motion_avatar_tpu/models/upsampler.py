@@ -201,14 +201,23 @@ def _masked_group_stats(x: jnp.ndarray, valid: jnp.ndarray, groups: int):
     per-sample GroupNorm stats (exact when every tile of the plane is
     covered; otherwise statistics cover the body region only, a documented
     deviation of the sparse path).
+
+    ONE pass over x (sum + sum-of-squares -> var = E[x^2] - E[x]^2) instead
+    of mean-then-centered-var: at the serving patch scale each pass is a
+    full HBM sweep (xprof: 6.4 ms of reduce_sum per rollout for the
+    two-pass form). f32 accumulation over bf16 inputs keeps ~1e-6 relative
+    accuracy on O(1) activations (tested vs the two-pass form).
     """
     F, cap, T, _, C = x.shape
     g = x.reshape(F, cap, T * T, groups, C // groups).astype(jnp.float32)
     w = valid.astype(jnp.float32)[:, :, None, None, None]
     n = jnp.maximum(valid.sum(-1).astype(jnp.float32), 1.0)[:, None] \
         * (T * T * (C // groups))
-    mean = (g * w).sum(axis=(1, 2, 4)) / n                     # (F, groups)
-    var = ((g - mean[:, None, None, :, None]) ** 2 * w).sum(axis=(1, 2, 4)) / n
+    gw = g * w
+    s1 = gw.sum(axis=(1, 2, 4))                                # (F, groups)
+    s2 = (gw * g).sum(axis=(1, 2, 4))
+    mean = s1 / n
+    var = jnp.maximum(s2 / n - mean * mean, 0.0)
     return mean, var
 
 
@@ -237,9 +246,20 @@ class _NormParams(nn.Module):
 
 
 class SparseCtx(NamedTuple):
+    """Window-validity masks in FACTORED (row x col) form: materializing the
+    (F, cap, e, e, 1) outer product cost 8 ms/rollout of broadcast fusions
+    (xprof); the rank-1 factors fuse into the consuming elementwise pass."""
+
     valid: jnp.ndarray        # (F, cap) bool — tile slots in use
-    inplane_u: jnp.ndarray    # (F, cap, T+4, T+4, 1) — u-window inside plane
-    inplane_c1: jnp.ndarray   # (F, cap, T+2, T+2, 1)
+    u_rows: jnp.ndarray       # (F, cap, T+4) — u-window rows inside plane
+    u_cols: jnp.ndarray       # (F, cap, T+4)
+    c1_rows: jnp.ndarray      # (F, cap, T+2)
+    c1_cols: jnp.ndarray      # (F, cap, T+2)
+
+
+def _mask2d(h: jnp.ndarray, rows: jnp.ndarray, cols: jnp.ndarray):
+    """h: (F, cap, e, e, C) * rank-1 window mask (rows x cols)."""
+    return h * rows[:, :, :, None, None] * cols[:, :, None, :, None]
 
 
 class ResBlock(nn.Module):
@@ -293,12 +313,12 @@ class ResBlock(nn.Module):
         h = nn.relu(_apply_group_norm(u, m1, v1, s1, b1, self.groups))
         # out-of-plane u positions must contribute 0 to conv1 (the dense
         # path's SAME padding semantics at the plane border)
-        h = h * ctx.inplane_u
+        h = _mask2d(h, ctx.u_rows, ctx.u_cols)
         h = per_frame(conv("conv1")(as_batch(h)))              # (F,cap,18,18,C)
         m2, v2 = _masked_group_stats(h[:, :, 1:T + 1, 1:T + 1], ctx.valid,
                                      self.groups)
         h = nn.relu(_apply_group_norm(h, m2, v2, s2, b2, self.groups))
-        h = h * ctx.inplane_c1
+        h = _mask2d(h, ctx.c1_rows, ctx.c1_cols)
         h = per_frame(conv("conv2")(as_batch(h)))              # (F,cap,T,T,C)
         return u[:, :, 2:T + 2, 2:T + 2] + h
 
@@ -341,7 +361,7 @@ class UpsampleBlock(nn.Module):
         h = nn.relu(h)
         # zero out-of-plane u positions (dense u is only defined in-plane;
         # conv SAME padding would see zeros there)
-        h = h * sparse_ctx.inplane_u
+        h = _mask2d(h, sparse_ctx.u_rows, sparse_ctx.u_cols)
         return ResBlock(self.out_channels, name="res",
                         dtype=self.dtype)(h, sparse_ctx)
 
@@ -445,17 +465,15 @@ class TriplaneUpsampler(nn.Module):
         r0 = (tile_ids // grid) * tile_px                      # (FP, cap)
         c0 = (tile_ids % grid) * tile_px
 
-        def window_mask(extent, off):
-            rows = r0[:, :, None] - off + jnp.arange(extent)[None, None, :]
-            cols = c0[:, :, None] - off + jnp.arange(extent)[None, None, :]
-            rin = (rows >= 0) & (rows < res)
-            cin = (cols >= 0) & (cols < res)
-            m = rin[:, :, :, None] & cin[:, :, None, :]
-            return m[..., None].astype(x.dtype)                # (FP,cap,e,e,1)
+        def axis_mask(base, extent, off):
+            v = base[:, :, None] - off + jnp.arange(extent)[None, None, :]
+            return ((v >= 0) & (v < res)).astype(x.dtype)      # (FP,cap,e)
 
         ctx = SparseCtx(valid=valid,
-                        inplane_u=window_mask(tile_px + 4, 2),
-                        inplane_c1=window_mask(tile_px + 2, 1))
+                        u_rows=axis_mask(r0, tile_px + 4, 2),
+                        u_cols=axis_mask(c0, tile_px + 4, 2),
+                        c1_rows=axis_mask(r0, tile_px + 2, 1),
+                        c1_cols=axis_mask(c0, tile_px + 2, 1))
         tiles = UpsampleBlock(self.feature_dim, name=f"up_{level}",
                               dtype=self.dtype,
                               upconv=self.upconv)(patches, ctx)
