@@ -45,6 +45,66 @@ def _dense(features: int, axes, use_bias: bool = True, name: Optional[str] = Non
 FLASH_MIN_SEQ = 1024  # below this, materialized attention is fine
 
 
+class _HeadsDense(nn.Module):
+    """`nn.Dense(inner, use_bias=False)` twin emitting (B, H, T, D) directly.
+
+    Identical parameter ('kernel' (C, inner), same logical axes) — only the
+    compute differs: folding the head split into the projection dot lets the
+    MXU write the head-major layout the attention kernels want. The explicit
+    reshape+transpose after a (B, T, inner) dense cost ~19 ms/rollout of
+    relayout fusions around the flash kernel (xprof, serving trace)."""
+
+    inner: int
+    heads: int
+    axes: tuple
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        C = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.with_logical_partitioning(nn.initializers.lecun_normal(),
+                                         self.axes),
+            (C, self.inner))
+        x, kernel = nn.dtypes.promote_dtype(x, kernel, dtype=self.dtype)
+        D = self.inner // self.heads
+        return jnp.einsum("btc,chd->bhtd", x,
+                          kernel.reshape(C, self.heads, D))
+
+
+class _OutDense(nn.Module):
+    """`nn.Dense(out_dim)` twin consuming (B, H, S, D) head-major attention
+    output: same params ('kernel' (inner, out), 'bias'), head merge folded
+    into the output-projection dot (no (B,H,S,D)->(B,S,inner) relayout)."""
+
+    out_dim: int
+    heads: int
+    head_dim: int
+    axes: tuple
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, y: jnp.ndarray) -> jnp.ndarray:
+        inner = self.heads * self.head_dim
+        kernel = self.param(
+            "kernel",
+            nn.with_logical_partitioning(nn.initializers.lecun_normal(),
+                                         self.axes),
+            (inner, self.out_dim))
+        bias = self.param(
+            "bias",
+            nn.with_logical_partitioning(nn.initializers.zeros_init(),
+                                         (self.axes[-1],)),
+            (self.out_dim,))
+        y, kernel, bias = nn.dtypes.promote_dtype(y, kernel, bias,
+                                                  dtype=self.dtype)
+        out = jnp.einsum("bhsd,hdo->bso", y,
+                         kernel.reshape(self.heads, self.head_dim,
+                                        self.out_dim))
+        return out + bias
+
+
 class Attention(nn.Module):
     """Multi-head attention, optionally cross (kv from `context`).
 
@@ -80,11 +140,15 @@ class Attention(nn.Module):
                  mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         inner = self.heads * self.head_dim
         kv_src = x if context is None else context
-        q_layer = _dense(inner, ("embed", "heads"), use_bias=False, name="q",
-                         dtype=self.dtype)
-        k_layer = _dense(inner, ("embed", "heads"), use_bias=False, name="k",
-                         dtype=self.dtype)
-        v = _dense(inner, ("embed", "heads"), use_bias=False, name="v", dtype=self.dtype)(kv_src)
+        q_layer = _HeadsDense(inner, self.heads, ("embed", "heads"),
+                              name="q", dtype=self.dtype)
+        k_layer = _HeadsDense(inner, self.heads, ("embed", "heads"),
+                              name="k", dtype=self.dtype)
+        out_layer = _OutDense(self.out_dim, self.heads, self.head_dim,
+                              ("heads", "embed"), name="out",
+                              dtype=self.dtype)
+        v = _HeadsDense(inner, self.heads, ("embed", "heads"), name="v",
+                        dtype=self.dtype)(kv_src)               # (B,H,T,D)
 
         if kv_src.shape[1] == 1 and mask is None:
             # EXACT single-key shortcut (the audio rollout cross-attends to
@@ -98,18 +162,13 @@ class Attention(nn.Module):
             q_len = x.shape[1] if self.q_tail is None else self.q_tail
             # project the ONE distinct row, then broadcast (dense and
             # broadcast commute — saves the (S, inner) @ (inner, out) matmul)
-            out1 = _dense(self.out_dim, ("heads", "embed"), name="out",
-                          dtype=self.dtype)(v)
+            out1 = out_layer(v)                                 # (B,1,out)
             return jnp.broadcast_to(out1, (x.shape[0], q_len, self.out_dim))
 
         q = q_layer(x if self.q_tail is None else x[:, -self.q_tail:])
         k = k_layer(kv_src)
 
-        B, S, _ = q.shape
-        T = k.shape[1]
-        q = q.reshape(B, S, self.heads, self.head_dim)
-        k = k.reshape(B, T, self.heads, self.head_dim)
-        v = v.reshape(B, T, self.heads, self.head_dim)
+        B, _, S, _ = q.shape
         scale = self.head_dim ** -0.5
 
         flash_ok = (self.use_flash and mask is None and context is None
@@ -119,7 +178,7 @@ class Attention(nn.Module):
             impl = self._splash if self.flash_impl == "splash" else self._flash
             out = impl(q, k, v, scale)
         else:
-            logits = jnp.einsum("bshd,bthd->bhst", q, k) * scale
+            logits = jnp.einsum("bhsd,bhtd->bhst", q, k) * scale
             if mask is not None:
                 logits = logits + mask
             # Softmax dtype follows the compute dtype (diffusers' default —
@@ -130,30 +189,44 @@ class Attention(nn.Module):
             if self.dtype is None:
                 logits = logits.astype(jnp.float32)
             probs = nn.softmax(logits, axis=-1)
-            out = jnp.einsum("bhst,bthd->bshd", probs, v)
-        out = out.reshape(B, S, inner)
-        return _dense(self.out_dim, ("heads", "embed"), name="out", dtype=self.dtype)(out)
+            out = jnp.einsum("bhst,bhtd->bhsd", probs, v.astype(probs.dtype))
+        return out_layer(out)
+
+    @staticmethod
+    def _pad_block(S: int, max_block: int = 1024):
+        """Pad plan for the Pallas kernels: the kernels compute the FULL
+        padded S^2 (segment-id masking zeroes results but not work), so pad
+        to the next 128 lane multiple and pick the largest block that
+        divides it, instead of padding to a whole block multiple. At the
+        rollout's S=6304 that is Sp=6400/block=640 vs the old 7168/1024 —
+        -21%% padded attention FLOPs. Falls back to 512-blocks when the
+        128-multiple is block-hostile (e.g. 128 x prime)."""
+        Sp = ((S + 127) // 128) * 128
+        for b in range(max_block, 127, -128):
+            if Sp % b == 0 and b >= 256:
+                return Sp, b
+        Sp = ((S + 511) // 512) * 512
+        return Sp, 512
 
     @staticmethod
     def _flash(q, k, v, scale):
-        """(B, S, H, D) -> (B, S, H, D) via the Pallas TPU kernel; pads the
-        sequence to a block multiple with segment-id masking. Block sizes
-        tuned on v5e at S~6304 (tools/attn_probe.py)."""
+        """(B, H, S, D) -> (B, H, S, D) via the Pallas TPU kernel; pads the
+        sequence to a 128 multiple with segment-id masking."""
         from jax.experimental.pallas.ops.tpu import flash_attention as fa
 
-        B, S, H, D = q.shape
-        Skv = k.shape[1]
-        BLOCK = 1024
-        Sp = ((S + BLOCK - 1) // BLOCK) * BLOCK
-        Skvp = ((Skv + BLOCK - 1) // BLOCK) * BLOCK
+        B, H, S, D = q.shape
+        Skv = k.shape[2]
+        Sp, BLOCK = Attention._pad_block(S)
+        Skvp, _ = Attention._pad_block(Skv)
+        # one block size must serve q and kv grids; for self-attention
+        # (the only flash route) S == Skv so the plan agrees
+        assert Sp % BLOCK == 0 and Skvp % BLOCK == 0, (Sp, Skvp, BLOCK)
 
         def p(t, target):
-            return jnp.pad(t, ((0, 0), (0, target - t.shape[1]),
-                               (0, 0), (0, 0)))
+            return jnp.pad(t, ((0, 0), (0, 0), (0, target - t.shape[2]),
+                               (0, 0)))
 
-        qh = p(q, Sp).transpose(0, 2, 1, 3)  # (B, H, Sp, D)
-        kh = p(k, Skvp).transpose(0, 2, 1, 3)
-        vh = p(v, Skvp).transpose(0, 2, 1, 3)
+        qh, kh, vh = p(q, Sp), p(k, Skvp), p(v, Skvp)
         seg_q = jnp.where(jnp.arange(Sp) < S, 1, 2).astype(jnp.int32)
         seg_q = jnp.broadcast_to(seg_q[None], (B, Sp))
         seg_kv = jnp.where(jnp.arange(Skvp) < Skv, 1, 2).astype(jnp.int32)
@@ -168,29 +241,27 @@ class Attention(nn.Module):
         out = fa.flash_attention(qh, kh, vh,
                                  segment_ids=fa.SegmentIds(q=seg_q, kv=seg_kv),
                                  sm_scale=scale, block_sizes=bs)
-        return out.transpose(0, 2, 1, 3)[:, :S]
+        return out[:, :, :S]
 
     @staticmethod
     def _splash(q, k, v, scale):
-        """(B, S, H, D) -> (B, S, H, D) via splash-attention (forward-only;
-        q512/kv512 blocks tuned at B=2 S=6304, tools/attn_probe.py)."""
+        """(B, H, S, D) -> (B, H, S, D) via splash-attention (forward-only
+        serving kernel)."""
         from jax.experimental.pallas.ops.tpu.splash_attention import (
             splash_attention_kernel as sk,
             splash_attention_mask as sm)
 
-        B, S, H, D = q.shape
-        Skv = k.shape[1]
-        BLOCK = 512
-        Sp = ((S + BLOCK - 1) // BLOCK) * BLOCK
-        Skvp = ((Skv + BLOCK - 1) // BLOCK) * BLOCK
+        B, H, S, D = q.shape
+        Skv = k.shape[2]
+        Sp, BLOCK = Attention._pad_block(S, max_block=640)
+        Skvp, _ = Attention._pad_block(Skv, max_block=640)
+        assert Sp % BLOCK == 0 and Skvp % BLOCK == 0, (Sp, Skvp, BLOCK)
 
         def p(t, target):
-            return jnp.pad(t, ((0, 0), (0, target - t.shape[1]),
-                               (0, 0), (0, 0)))
+            return jnp.pad(t, ((0, 0), (0, 0), (0, target - t.shape[2]),
+                               (0, 0)))
 
-        qh = p(q, Sp).transpose(0, 2, 1, 3)  # (B, H, Sp, D)
-        kh = p(k, Skvp).transpose(0, 2, 1, 3)
-        vh = p(v, Skvp).transpose(0, 2, 1, 3)
+        qh, kh, vh = p(q, Sp), p(k, Skvp), p(v, Skvp)
         seg_q = jnp.where(jnp.arange(Sp) < S, 1, 2).astype(jnp.int32)
         seg_q = jnp.broadcast_to(seg_q[None], (B, Sp))
         seg_kv = jnp.where(jnp.arange(Skvp) < Skv, 1, 2).astype(jnp.int32)
@@ -206,7 +277,7 @@ class Attention(nn.Module):
                           segment_ids=sk.SegmentIds(q=sq, kv=skv))
 
         out = jax.vmap(one)(qh, kh, vh, seg_q, seg_kv)
-        return out.transpose(0, 2, 1, 3)[:, :S]
+        return out[:, :, :S]
 
 
 class GEGLUFeedForward(nn.Module):
