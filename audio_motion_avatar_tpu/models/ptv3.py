@@ -146,10 +146,16 @@ class PTv3Encoder(nn.Module):
                 elif cur_perm is not None and perm is not None:
                     x = x[cur_inv[perm]]
                 cur_perm, cur_inv = perm, inv
-                m = mask if cur_perm is None else mask[cur_perm]
+                # mask is SORT-INVARIANT: every order's codes put padding
+                # last (code forced to 2^30), and every stage's storage is
+                # valid-first (input pads at the end; pooled storage
+                # inherits valid-first from the parent's z order), so
+                # mask[perm] == mask — the per-block (N,) mask gathers were
+                # descriptor-bound like a full feature gather (~20 of the
+                # refiner's 74 gathers/rollout, xprof).
                 x = SerialBlock(dim, heads, self.patch_size,
                                 dtype=self.dtype,
-                                name=f"{prefix}_b{b}")(x, m)
+                                name=f"{prefix}_b{b}")(x, mask)
             if cur_perm is not None:
                 x = x[cur_inv]
             return x
@@ -166,7 +172,8 @@ class PTv3Encoder(nn.Module):
                 if perm is None:  # storage already z-ordered
                     xs, ps, ms = x, cur_pts, cur_mask
                 else:
-                    xs, ps, ms = x[perm], cur_pts[perm], cur_mask[perm]
+                    # cur_mask[perm] == cur_mask (sort-invariant, see above)
+                    xs, ps, ms = x[perm], cur_pts[perm], cur_mask
                 n2 = xs.shape[0] // POOL_WINDOW
                 xs = nn.Dense(dim, dtype=self.dtype, name=f"pool{s}_proj")(xs)
                 xw = xs.reshape(n2, POOL_WINDOW, dim)

@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -72,3 +73,26 @@ def test_full_scale_shapes():
     out = model.apply(variables, pts, feats)
     assert out.shape == (1, n, 256)
     assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.quick
+def test_mask_sort_invariance():
+    """Every serialization order sorts padding (code 2^30) last while
+    storage is valid-first, so mask[perm] == mask — the identity the
+    refiner relies on to skip per-block mask gathers."""
+    import jax.numpy as jnp
+    from audio_motion_avatar_tpu.ops import serialization as ser
+
+    rng = np.random.RandomState(3)
+    N, N_pad = 700, 1024
+    pts = jnp.asarray(rng.randn(N, 3).astype(np.float32) * 1.2)
+    pts = jnp.pad(pts, ((0, N_pad - N), (0, 0)))
+    mask = jnp.arange(N_pad) < N
+    grid = ser.grid_coords(pts, 100.0)
+    for o in ser.ORDERS:
+        code = ser.encode(grid, o)
+        assert int(code[:N].max()) < 2 ** 30
+        code = jnp.where(mask, code, jnp.int32(2 ** 30))
+        perm = jnp.argsort(code)
+        np.testing.assert_array_equal(np.asarray(mask)[np.asarray(perm)],
+                                      np.asarray(mask))
