@@ -36,6 +36,9 @@ class SparseTriplanes(NamedTuple):
     grid: int
     tile_px: int
     res: int
+    # (B, 3, cap) int32 — covered tile ids ascending, invalid padded with
+    # the sentinel G*G; slot[t] == rank of t in this table (select_tiles)
+    sorted_ids: Optional[jnp.ndarray] = None
 
 
 def _nearest2x(x: jnp.ndarray) -> jnp.ndarray:
@@ -129,12 +132,20 @@ UPCONV_IMPLS = {"poly": _upsample2x_conv3x3,
 def select_tiles(points_uv: jnp.ndarray, grid: int, cap: int,
                  tile_px: int = 16):
     """Covered-tile selection for one plane: (N, 2) uv in [-1, 1] ->
-    (tile_ids (cap,) int32, valid (cap,), slot (G*G,) int32 with -1 holes).
+    (tile_ids (cap,) int32, valid (cap,), slot (G*G,) int32 with -1 holes,
+    sorted_ids (cap,) int32).
 
     A tile is covered if a point lands in it or in its 3x3 neighborhood
     (halo — bilinear taps and small refiner offsets stay inside). Tiles are
     ranked by (dilated) point count so, if coverage exceeds `cap`, the
     least-populated halo tiles are dropped first.
+
+    Slots are assigned in ASCENDING tile-id order, so `slot[t]` equals the
+    RANK of t among covered ids: samplers can resolve a point's slot with
+    two fused compare-reductions against `sorted_ids` instead of a
+    descriptor-bound (N,) gather from the slot table (ops.triplane
+    .slot_rank; the slot-table gathers were ~16 ms/rollout, xprof).
+    `sorted_ids` pads invalid entries with the out-of-range sentinel G*G.
     """
     G2 = grid * grid
     # grid_sample pixel convention: px = (u+1)*(res/2) - 0.5; tile = px//T
@@ -157,12 +168,16 @@ def select_tiles(points_uv: jnp.ndarray, grid: int, cap: int,
         cmap[None, :, :, None], k, (1, 1), "SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"))[0, :, :, 0].reshape(G2)
     topv, topi = jax.lax.top_k(prio, cap)
-    valid = topv > 0
-    tile_ids = jnp.where(valid, topi, 0).astype(jnp.int32)
+    sorted_ids = jnp.sort(
+        jnp.where(topv > 0, topi, G2)).astype(jnp.int32)       # invalid last
+    valid = sorted_ids < G2
+    tile_ids = jnp.where(valid, sorted_ids, 0)
+    # invalid entries scatter out of range (sentinel) and are DROPPED —
+    # never aliasing tile 0's slot
     slot = jnp.full((G2,), -1, jnp.int32)
-    slot = slot.at[tile_ids].set(
-        jnp.where(valid, jnp.arange(cap, dtype=jnp.int32), -1))
-    return tile_ids, valid, slot
+    slot = slot.at[sorted_ids].set(jnp.arange(cap, dtype=jnp.int32),
+                                   mode="drop")
+    return tile_ids, valid, slot, sorted_ids
 
 
 def _gather_patches(x: jnp.ndarray, tile_ids: jnp.ndarray, grid: int,
@@ -446,7 +461,7 @@ class TriplaneUpsampler(nn.Module):
         """Shared sparse machinery: select covered tiles at 2x the res of
         `x`, gather haloed input patches, run UpsampleBlock `up_{level}`
         sparsely. Returns (tiles (FP,cap,T,T,C), tile_ids, valid, slot,
-        grid, tile_px, res)."""
+        sorted_ids, grid, tile_px, res)."""
         FP, Hin, _, C = x.shape
         res = Hin * 2
         tile_px = min(self.sparse_tile_px, res)
@@ -455,7 +470,7 @@ class TriplaneUpsampler(nn.Module):
         cap = min(cap_cfg, grid * grid)
         uv = points_uv.reshape(FP, -1, 2)
 
-        tile_ids, valid, slot = jax.vmap(
+        tile_ids, valid, slot, sorted_ids = jax.vmap(
             lambda u: select_tiles(u, grid, cap, tile_px))(uv)
 
         patches = jax.vmap(
@@ -477,7 +492,7 @@ class TriplaneUpsampler(nn.Module):
         tiles = UpsampleBlock(self.feature_dim, name=f"up_{level}",
                               dtype=self.dtype,
                               upconv=self.upconv)(patches, ctx)
-        return tiles, tile_ids, valid, slot, grid, tile_px, res
+        return tiles, tile_ids, valid, slot, sorted_ids, grid, tile_px, res
 
     def _sparse_scatter_level(self, x: jnp.ndarray, skip: jnp.ndarray,
                               points_uv: jnp.ndarray, level: int,
@@ -493,7 +508,7 @@ class TriplaneUpsampler(nn.Module):
         if first:  # this level is also block 0: project the skip once
             skip = nn.Conv(self.feature_dim, (1, 1), name="skip_proj",
                            dtype=self.dtype)(skip)
-        tiles, tile_ids, valid, _, grid, T, res = self._sparse_eval_level(
+        tiles, tile_ids, valid, _, _, grid, T, res = self._sparse_eval_level(
             x, points_uv, level, self.sparse_pen_max_tiles)
         skip2x = _nearest2x(skip)                              # (FP,res,res,C)
         Cn = tiles.shape[-1]
@@ -515,7 +530,7 @@ class TriplaneUpsampler(nn.Module):
             skip = nn.Conv(self.feature_dim, (1, 1), name="skip_proj",
                            dtype=self.dtype)(skip)
 
-        res_tiles, tile_ids, valid, slot, grid, tile_px, res = \
+        res_tiles, tile_ids, valid, slot, sorted_ids, grid, tile_px, res = \
             self._sparse_eval_level(x, points_uv, self.num_blocks - 1,
                                     self.sparse_max_tiles)
         in_tile = tile_px // 2
@@ -534,7 +549,8 @@ class TriplaneUpsampler(nn.Module):
             tiles=tiles.reshape(B, P, cap, tile_px, tile_px, Cn),
             slot=slot.reshape(B, P, grid * grid),
             valid=valid.reshape(B, P, cap),
-            grid=grid, tile_px=tile_px, res=res)
+            grid=grid, tile_px=tile_px, res=res,
+            sorted_ids=sorted_ids.reshape(B, P, cap))
 
 
 class ConvNeXtBlock(nn.Module):

@@ -380,13 +380,29 @@ def quad_rows(tiles: jnp.ndarray, slot: jnp.ndarray, grid: int) -> jnp.ndarray:
          th[:, 1:T + 1, :T], th[:, 1:T + 1, 1:T + 1]], axis=-1)
 
 
-def grid_sample_2d_sparse_quad(quad: jnp.ndarray, slot: jnp.ndarray,
+def slot_rank(sorted_ids: jnp.ndarray, tid: jnp.ndarray):
+    """Slot lookup WITHOUT a gather: select_tiles assigns slots in
+    ascending tile-id order, so a tile's slot equals its rank in
+    `sorted_ids` ((cap,) ascending covered ids, invalid padded with an
+    out-of-range sentinel). Two fused (N, cap) compare-reductions replace
+    the descriptor-bound (N,) slot-table gather (those gathers were
+    ~16 ms/rollout at the serving scale — xprof). Returns (slot (N,) int32,
+    present (N,) bool); slot is meaningful only where present."""
+    t = sorted_ids[None, :]
+    v = tid[:, None]
+    lt = (t < v).sum(axis=1).astype(jnp.int32)
+    le = (t <= v).sum(axis=1).astype(jnp.int32)
+    return lt, le > lt
+
+
+def grid_sample_2d_sparse_quad(quad: jnp.ndarray, sorted_ids: jnp.ndarray,
                                grid_xy: jnp.ndarray, grid: int, tile_px: int,
                                res: int) -> jnp.ndarray:
     """`grid_sample_2d_sparse` as ONE row gather per point from the quad
-    layout (`quad_rows`). Same top-left-texel tile routing as the slab
-    sampler: differs from the 4-tap form only for points outside the
-    halo'd coverage (reads 0). Exact under full coverage — tested."""
+    layout (`quad_rows`); slot resolution via `slot_rank` (no gather).
+    Same top-left-texel tile routing as the slab sampler: differs from the
+    4-tap form only for points outside the halo'd coverage (reads 0).
+    Exact under full coverage — tested."""
     cap, T, _, C4 = quad.shape
     C = C4 // 4
     rows = quad.reshape(cap * T * T, C4)
@@ -395,9 +411,9 @@ def grid_sample_2d_sparse_quad(quad: jnp.ndarray, slot: jnp.ndarray,
     sx, ax0, ax1 = _lane_weights(x, res)
     sy, ay0, ay1 = _lane_weights(y, res)
     tid = (sy // tile_px) * grid + (sx // tile_px)
-    sl = slot[tid]                                     # (N,), -1 if absent
-    ok = (sl >= 0).astype(jnp.float32)
-    sc = jnp.clip(sl, 0)
+    sl, present = slot_rank(sorted_ids, tid)
+    ok = present.astype(jnp.float32)
+    sc = jnp.clip(sl, 0, cap - 1)
     idx = sc * (T * T) + (sy % tile_px) * T + (sx % tile_px)
     v = jnp.take(rows, idx, axis=0).reshape(-1, 4, C).astype(jnp.float32)
     w = jnp.stack([ay0 * ax0, ay0 * ax1, ay1 * ax0, ay1 * ax1],
@@ -409,18 +425,19 @@ def sample_triplane_sparse_quad(sp, quad: jnp.ndarray, points: jnp.ndarray,
                                 radius: float) -> jnp.ndarray:
     """`sample_triplane_sparse` via the quad-row gather. quad: (B, 3, cap,
     T, T, 4C) from `quad_rows` — build ONCE per plane set and reuse across
-    sampling passes (the renderer samples twice)."""
+    sampling passes (the renderer samples twice). Requires sp.sorted_ids
+    (SparseTriplanes built by select_tiles)."""
     u = jnp.clip(points / radius, -1.0, 1.0)
 
-    def one(q_b, slot_b, uu):
+    def one(q_b, ids_b, uu):
         feats = []
         for pi, (a0, a1) in enumerate(PLANE_AXES):
             g = jnp.stack([uu[:, a0], uu[:, a1]], axis=-1)
             feats.append(grid_sample_2d_sparse_quad(
-                q_b[pi], slot_b[pi], g, sp.grid, sp.tile_px, sp.res))
+                q_b[pi], ids_b[pi], g, sp.grid, sp.tile_px, sp.res))
         return jnp.concatenate(feats, axis=-1)
 
-    return jax.vmap(one)(quad, sp.slot, u).astype(jnp.float32)
+    return jax.vmap(one)(quad, sp.sorted_ids, u).astype(jnp.float32)
 
 
 def sample_triplane_sparse(sp, points: jnp.ndarray,

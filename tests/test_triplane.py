@@ -366,8 +366,9 @@ def test_quad_sampler_matches_taps():
     tiles = jnp.asarray(rng.randn(G2, tile, tile, C).astype(np.float32))
     slot = jnp.arange(G2, dtype=np.int32)
     a = T.grid_sample_2d_sparse(tiles, slot, pts, grid, tile, res)
+    sorted_ids = jnp.arange(G2, dtype=np.int32)   # full coverage, ascending
     b = T.grid_sample_2d_sparse_quad(T.quad_rows(tiles, slot, grid),
-                                     slot, pts, grid, tile, res)
+                                     sorted_ids, pts, grid, tile, res)
     np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-6)
 
     keep = np.ones(G2, bool)
@@ -377,8 +378,9 @@ def test_quad_sampler_matches_taps():
     tiles2 = jnp.asarray(rng.randn(int(keep.sum()), tile, tile, C)
                          .astype(np.float32))
     a2 = T.grid_sample_2d_sparse(tiles2, slot2, pts, grid, tile, res)
+    sorted_ids2 = jnp.asarray(np.nonzero(keep)[0].astype(np.int32))
     b2 = T.grid_sample_2d_sparse_quad(T.quad_rows(tiles2, slot2, grid),
-                                      slot2, pts, grid, tile, res)
+                                      sorted_ids2, pts, grid, tile, res)
     x0 = np.floor((np.asarray(pts[:, 0]) + 1) * res / 2 - 0.5).astype(int)
     y0 = np.floor((np.asarray(pts[:, 1]) + 1) * res / 2 - 0.5).astype(int)
 
@@ -435,7 +437,7 @@ def test_select_tiles_histogram_matches_scatter():
     rng = np.random.RandomState(7)
     grid, cap, tile_px = 8, 20, 16
     uv = jn.asarray(rng.uniform(-1, 1, size=(500, 2)).astype(np.float32))
-    tile_ids, valid, slot = select_tiles(uv, grid, cap, tile_px)
+    tile_ids, valid, slot, _sorted = select_tiles(uv, grid, cap, tile_px)
 
     # scatter-add oracle (identical math to the pre-optimization form)
     u = np.clip(np.asarray(uv), -1.0, 1.0)
@@ -457,3 +459,27 @@ def test_select_tiles_histogram_matches_scatter():
     sl = np.asarray(slot)
     for s, t in enumerate(np.asarray(tile_ids)[np.asarray(valid)]):
         assert sl[t] == s
+
+
+@pytest.mark.quick
+def test_slot_rank_matches_slot_gather():
+    """slot_rank (compare-reduction lookup) == slot-table gather for every
+    covered/uncovered tile id, including the all-invalid edge."""
+    import jax
+    from audio_motion_avatar_tpu.models.upsampler import select_tiles
+    from audio_motion_avatar_tpu.ops.triplane import slot_rank
+
+    rng = np.random.RandomState(11)
+    grid, cap, tile_px = 8, 12, 8   # cap < typical coverage -> real holes
+    uv = jnp.asarray(rng.uniform(-1, 1, size=(200, 2)).astype(np.float32))
+    tile_ids, valid, slot, sorted_ids = select_tiles(uv, grid, cap, tile_px)
+    tid = jnp.arange(grid * grid, dtype=jnp.int32)   # every tile id
+    sl_rank, present = slot_rank(sorted_ids, tid)
+    sl_gather = np.asarray(slot)[np.asarray(tid)]
+    np.testing.assert_array_equal(np.asarray(present), sl_gather >= 0)
+    m = sl_gather >= 0
+    np.testing.assert_array_equal(np.asarray(sl_rank)[m], sl_gather[m])
+    # slots are rank-ordered: tiles ascending <-> slots ascending
+    ids = np.asarray(sorted_ids)
+    v = ids < grid * grid
+    assert (np.diff(ids[v]) > 0).all() if v.sum() > 1 else True
