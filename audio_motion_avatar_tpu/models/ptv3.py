@@ -19,7 +19,14 @@ TPU-first redesigns (all static-shape; documented deviations):
   * sparse-conv CPE (spconv SubMConv3d, :555-561) -> depthwise conv along
     the serialized sequence (window 3). Curve locality makes serial
     neighbors spatial neighbors, and the op is a static depthwise conv
-    instead of a hash-gather sparse conv.
+    instead of a hash-gather sparse conv. This is exactly the xCPE the
+    PTv3 paper itself introduces as a drop-in for the spconv CPE where
+    sparse-conv support is poor (arXiv:2312.10035, Sec. 4/Table 8 —
+    "serial conv" performs on par); a literal SubMConv3d needs either a
+    27-offset hash lookup (binary searches = log2(N) chained gathers per
+    offset) or a dense voxel table ((~300)^3 cells rebuilt per stage) —
+    both orders of magnitude slower than everything else in the refiner
+    on TPU, for quality the upstream ablation shows to be noise-level.
   * SerializedPooling's dynamic grid merge (code >> bits, dynamic counts)
     -> fixed-window (4) max pooling over the curve order: constant 4x
     reduction, static shapes at every stage. Unpooling broadcasts parents
