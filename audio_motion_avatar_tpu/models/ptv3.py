@@ -58,6 +58,130 @@ def invert_perm(perm: jnp.ndarray) -> jnp.ndarray:
         jnp.arange(n, dtype=perm.dtype))
 
 
+class _SerialCpe(nn.Module):
+    """`nn.Conv(dim, (3,), feature_group_count=dim)` twin as three shifted
+    multiplies: identical params ('kernel' (3, 1, C), 'bias' (C,)), but the
+    compute stays elementwise on the VPU — the depthwise conv forced a
+    layout round-trip around every block (xprof: ~3 ms/block at the dec0
+    scale for ~0 FLOPs)."""
+
+    dim: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x: (N, C) -> (N, C), SAME padding along the curve axis."""
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 1, self.dim))
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
+                                                  dtype=self.dtype)
+        k = kernel[:, 0, :]                            # (3, C)
+        xp = jnp.pad(x, ((1, 1), (0, 0)))
+        N = x.shape[0]
+        return (xp[0:N] * k[0] + xp[1:N + 1] * k[1] + xp[2:N + 2] * k[2]
+                + bias)
+
+
+class _ProjGHPD(nn.Module):
+    """`nn.DenseGeneral(features=(H, D))` twin (params 'kernel' (C, H, D),
+    'bias' (H, D) — flax MHA's query/key/value layout) emitting (G, H, P, D)
+    head-major directly from the projection dot."""
+
+    heads: int
+    head_dim: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        C = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (C, self.heads, self.head_dim))
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.heads, self.head_dim))
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
+                                                  dtype=self.dtype)
+        y = jnp.einsum("gpc,chd->ghpd", x, kernel)
+        return y + bias[None, :, None, :]
+
+
+class _OutGPC(nn.Module):
+    """`nn.DenseGeneral(features=C, axis=(-2, -1))` twin (params 'kernel'
+    (H, D, C), 'bias' (C,) — flax MHA's out layout) consuming (G, H, P, D)
+    head-major attention output."""
+
+    out_dim: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, y: jnp.ndarray) -> jnp.ndarray:
+        H, D = y.shape[1], y.shape[3]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (H, D, self.out_dim))
+        bias = self.param("bias", nn.initializers.zeros, (self.out_dim,))
+        y, kernel, bias = nn.dtypes.promote_dtype(y, kernel, bias,
+                                                  dtype=self.dtype)
+        return jnp.einsum("ghpd,hdc->gpc", y, kernel) + bias
+
+
+class _PatchAttention(nn.Module):
+    """`nn.MultiHeadDotProductAttention` twin (identical param tree:
+    query/key/value kernels (C, H, D) + biases, out (H, D, C)) for
+    valid-first patch attention.
+
+    On TPU with D in {64, 128} it routes through the Pallas flash kernel —
+    the flax module materializes the (G, H, P, P) logits in HBM (~740 MB
+    per dec0 block, xprof: attention there ran at ~9% MXU, memory-bound).
+    Elsewhere it computes the same dense chain as flax (softmax in the
+    compute dtype), with the head split folded into the projection dots.
+    Mask comes in as (N,) valid-first; invalid rows are zeroed by the
+    caller's residual mask.
+    """
+
+    dim: int
+    heads: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, hq: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+        """hq: (G, P, C); mask: (G, P) bool. Returns (G, P, C)."""
+        G, P, C = hq.shape
+        H = self.heads
+        D = C // H
+
+        # head-major projections (the relayout-free form, see
+        # models/transformer.py); submodule/param names match flax MHA
+        # ({query,key,value}/kernel (C,H,D) + bias (H,D), out (H,D,C))
+        q = _ProjGHPD(H, D, dtype=self.dtype, name="query")(hq)
+        k = _ProjGHPD(H, D, dtype=self.dtype, name="key")(hq)
+        v = _ProjGHPD(H, D, dtype=self.dtype, name="value")(hq)
+
+        use_flash = (D in (64, 128) and P % 128 == 0
+                     and jax.default_backend() == "tpu")
+        if use_flash:
+            from jax.experimental.pallas.ops.tpu import flash_attention as fa
+            seg = jnp.where(mask, 1, 2).astype(jnp.int32)      # (G, P)
+            BLOCK = min(P, 512)
+            bs = fa.BlockSizes(
+                block_q=BLOCK, block_k_major=BLOCK, block_k=BLOCK,
+                block_b=1, block_q_major_dkv=BLOCK,
+                block_k_major_dkv=BLOCK, block_k_dkv=BLOCK,
+                block_q_dkv=BLOCK, block_k_major_dq=BLOCK,
+                block_k_dq=BLOCK, block_q_dq=BLOCK)
+            out = fa.flash_attention(
+                q, k, v, segment_ids=fa.SegmentIds(q=seg, kv=seg),
+                sm_scale=float(1.0 / np.sqrt(D)), block_sizes=bs)
+        else:
+            # flax dot_product_attention numerics: q scaled by 1/sqrt(D),
+            # big-negative mask, softmax in the compute dtype
+            logits = jnp.einsum("ghqd,ghkd->ghqk", q / jnp.sqrt(D).astype(q.dtype), k)
+            big_neg = jnp.finfo(logits.dtype).min
+            logits = jnp.where(mask[:, None, None, :], logits, big_neg)
+            probs = jax.nn.softmax(logits, axis=-1)
+            out = jnp.einsum("ghqk,ghkd->ghqd", probs, v)
+        return _OutGPC(C, dtype=self.dtype, name="out")(out)
+
+
 class SerialBlock(nn.Module):
     """xCPE (depthwise serial conv) + patch attention + MLP, pre-LN."""
 
@@ -70,22 +194,18 @@ class SerialBlock(nn.Module):
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
         """x: (N, C) curve-ordered; mask: (N,) bool valid."""
         N, C = x.shape
-        # xCPE: depthwise conv window 3 along the curve (replaces spconv CPE).
-        h = nn.Conv(self.dim, kernel_size=(3,), feature_group_count=self.dim,
-                    dtype=self.dtype, name="cpe")(x[None])[0]
+        # xCPE: depthwise window-3 conv along the curve (replaces spconv
+        # CPE) computed as shifted multiplies (see _SerialCpe).
+        h = _SerialCpe(self.dim, dtype=self.dtype, name="cpe")(x)
         x = x + h * mask[:, None]
 
         # Patch attention.
         p = min(self.patch_size, N)
         g = N // p
         h = nn.LayerNorm(name="ln1", dtype=self.dtype)(x)
-        hq = h.reshape(g, p, C)
-        # (G, 1, 1, P_keys) broadcasts inside the attention — materializing
-        # the (G, 1, P, P) form costs ~4GB of HBM mask traffic per rollout
-        attn_mask = mask.reshape(g, 1, 1, p)
-        attn = nn.MultiHeadDotProductAttention(
-            num_heads=self.heads, dtype=self.dtype,
-            name="attn")(hq, hq, mask=attn_mask)
+        attn = _PatchAttention(self.dim, self.heads, dtype=self.dtype,
+                               name="attn")(h.reshape(g, p, C),
+                                            mask.reshape(g, p))
         x = x + attn.reshape(N, C) * mask[:, None]
 
         h = nn.LayerNorm(name="ln2", dtype=self.dtype)(x)

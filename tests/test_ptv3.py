@@ -96,3 +96,45 @@ def test_mask_sort_invariance():
         perm = jnp.argsort(code)
         np.testing.assert_array_equal(np.asarray(mask)[np.asarray(perm)],
                                       np.asarray(mask))
+
+
+@pytest.mark.quick
+def test_patch_attention_matches_flax_mha():
+    """_PatchAttention (dense path) must reproduce
+    nn.MultiHeadDotProductAttention bit-for-bit semantics with the SAME
+    param tree, masked rows included."""
+    import flax.linen as nn
+    from audio_motion_avatar_tpu.models.ptv3 import _PatchAttention
+
+    G, P, C, H = 3, 64, 32, 4
+    rng = np.random.RandomState(0)
+    hq = jnp.asarray(rng.randn(G, P, C).astype(np.float32))
+    mask = jnp.asarray(rng.rand(G, P) < 0.8)
+
+    new = _PatchAttention(C, H)
+    v = new.init(jax.random.PRNGKey(0), hq, mask)
+    out_new = new.apply(v, hq, mask)
+
+    old = nn.MultiHeadDotProductAttention(num_heads=H)
+    out_old = old.apply(v, hq, hq, mask=mask[:, None, None, :])
+    np.testing.assert_allclose(np.asarray(out_new), np.asarray(out_old),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.quick
+def test_serial_cpe_matches_depthwise_conv():
+    """_SerialCpe (shifted multiplies) == nn.Conv depthwise window 3,
+    identical params."""
+    import flax.linen as nn
+    from audio_motion_avatar_tpu.models.ptv3 import _SerialCpe
+
+    N, C = 200, 16
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(N, C).astype(np.float32))
+    new = _SerialCpe(C)
+    v = new.init(jax.random.PRNGKey(0), x)
+    out_new = new.apply(v, x)
+    conv = nn.Conv(C, kernel_size=(3,), feature_group_count=C)
+    out_old = conv.apply(v, x[None])[0]
+    np.testing.assert_allclose(np.asarray(out_new), np.asarray(out_old),
+                               rtol=1e-5, atol=1e-5)
