@@ -31,19 +31,33 @@ SAPIENS_STD = (0.2295, 0.2236, 0.2256)
 
 
 class ViTBlock(nn.Module):
+    """Pre-LN ViT block. Attention runs through the MHA-twin
+    _PatchAttention (identical param tree to
+    nn.MultiHeadDotProductAttention, so the Sapiens converter mapping is
+    unchanged): at Sapiens dims (S=4096, D=64) the flax module
+    materializes (B, 24, 4096, 4096) logits — ~800 MB of HBM per layer —
+    where the Pallas flash kernel streams them through VMEM. `dtype`
+    mirrors the reference's bf16 autocast (image_feature.py:243):
+    matmuls in bf16, LayerNorms in fp32 (torch autocast keeps
+    layer_norm fp32)."""
+
     width: int
     heads: int
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
+        from .ptv3 import _PatchAttention
+
         h = nn.LayerNorm(name="ln1")(x)
-        h = nn.MultiHeadDotProductAttention(num_heads=self.heads,
-                                            name="attn")(h, h)
+        h = _PatchAttention(self.width, self.heads, dtype=self.dtype,
+                            name="attn")(h.astype(
+                                self.dtype if self.dtype else h.dtype))
         x = x + h
         h = nn.LayerNorm(name="ln2")(x)
-        h = nn.Dense(self.width * 4, name="mlp1")(h)
+        h = nn.Dense(self.width * 4, name="mlp1", dtype=self.dtype)(h)
         h = nn.gelu(h)
-        h = nn.Dense(self.width, name="mlp2")(h)
+        h = nn.Dense(self.width, name="mlp2", dtype=self.dtype)(h)
         return x + h
 
 
@@ -58,20 +72,23 @@ class VisionTransformer(nn.Module):
     heads: int = 24
     patch: int = 16
     resolution: int = 1024
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
         """images: (B, 3, H, W) preprocessed -> (B, (H/p)*(W/p), width)."""
         x = images.transpose(0, 2, 3, 1)  # NHWC
         x = nn.Conv(self.width, (self.patch, self.patch),
-                    strides=(self.patch, self.patch), name="patch_embed")(x)
+                    strides=(self.patch, self.patch), name="patch_embed",
+                    dtype=self.dtype)(x)
         B, gh, gw, C = x.shape
         x = x.reshape(B, gh * gw, C)
         pos = self.param("pos_embed", nn.initializers.normal(0.02),
                          (1, (self.resolution // self.patch) ** 2, self.width))
-        x = x + pos[:, : gh * gw]
+        x = x + pos[:, : gh * gw].astype(x.dtype)
         for i in range(self.depth):
-            x = ViTBlock(self.width, self.heads, name=f"block_{i}")(x)
+            x = ViTBlock(self.width, self.heads, dtype=self.dtype,
+                         name=f"block_{i}")(x)
         return nn.LayerNorm(name="ln_final")(x)
 
 
@@ -109,7 +126,8 @@ class SapiensEncoder(nn.Module):
     def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
         x = preprocess(images, self.resolution).astype(self.compute_dtype)
         vit = VisionTransformer(self.width, self.depth, self.heads, self.patch,
-                                self.resolution, name="vit")
+                                self.resolution, dtype=self.compute_dtype,
+                                name="vit")
         tokens = vit(x)
         # Frozen: no gradient flows into (or out of) the encoder params.
         return jax.lax.stop_gradient(tokens.astype(jnp.float32))

@@ -143,8 +143,10 @@ class _PatchAttention(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, hq: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-        """hq: (G, P, C); mask: (G, P) bool. Returns (G, P, C)."""
+    def __call__(self, hq: jnp.ndarray,
+                 mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """hq: (G, P, C); mask: (G, P) bool or None (all valid).
+        Returns (G, P, C)."""
         G, P, C = hq.shape
         H = self.heads
         D = C // H
@@ -160,7 +162,10 @@ class _PatchAttention(nn.Module):
                      and jax.default_backend() == "tpu")
         if use_flash:
             from jax.experimental.pallas.ops.tpu import flash_attention as fa
-            seg = jnp.where(mask, 1, 2).astype(jnp.int32)      # (G, P)
+            seg = None
+            if mask is not None:
+                ids = jnp.where(mask, 1, 2).astype(jnp.int32)  # (G, P)
+                seg = fa.SegmentIds(q=ids, kv=ids)
             BLOCK = min(P, 512)
             bs = fa.BlockSizes(
                 block_q=BLOCK, block_k_major=BLOCK, block_k=BLOCK,
@@ -169,14 +174,15 @@ class _PatchAttention(nn.Module):
                 block_q_dkv=BLOCK, block_k_major_dq=BLOCK,
                 block_k_dq=BLOCK, block_q_dq=BLOCK)
             out = fa.flash_attention(
-                q, k, v, segment_ids=fa.SegmentIds(q=seg, kv=seg),
+                q, k, v, segment_ids=seg,
                 sm_scale=float(1.0 / np.sqrt(D)), block_sizes=bs)
         else:
             # flax dot_product_attention numerics: q scaled by 1/sqrt(D),
             # big-negative mask, softmax in the compute dtype
             logits = jnp.einsum("ghqd,ghkd->ghqk", q / jnp.sqrt(D).astype(q.dtype), k)
-            big_neg = jnp.finfo(logits.dtype).min
-            logits = jnp.where(mask[:, None, None, :], logits, big_neg)
+            if mask is not None:
+                big_neg = jnp.finfo(logits.dtype).min
+                logits = jnp.where(mask[:, None, None, :], logits, big_neg)
             probs = jax.nn.softmax(logits, axis=-1)
             out = jnp.einsum("ghqk,ghkd->ghqd", probs, v)
         return _OutGPC(C, dtype=self.dtype, name="out")(out)
