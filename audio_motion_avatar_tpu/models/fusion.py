@@ -42,10 +42,14 @@ class FeatureFusionNetwork(nn.Module):
             name="triplane_tokenizer")(BT, planes)  # (BT, C, 3RR)
 
         combined = jnp.concatenate([tokens, smpl], axis=2)
+        # use_flash: self-attention over 3152 tokens materializes
+        # (BT, 8, 3152, 3152) logits (~160 MB/layer) on the XLA path; the
+        # Pallas kernel (differentiable — the audio rollout trains through
+        # it) streams them. Cross-attention keys stay dense (context path).
         out = Transformer1D(
             num_layers=self.layers, heads=self.heads, head_dim=self.head_dim,
             in_channels=self.feature_dim, context_dim=self.image_feature_dim,
-            dtype=self.compute_dtype,
+            dtype=self.compute_dtype, use_flash=True,
             name="transformer_cross")(combined, img)
 
         n_tri = tokens.shape[2]
