@@ -171,8 +171,11 @@ class Attention(nn.Module):
         B, _, S, _ = q.shape
         scale = self.head_dim ** -0.5
 
-        flash_ok = (self.use_flash and mask is None and context is None
+        # cross-attention qualifies too (separate q/kv block plans); only
+        # the kv length must also be long enough to be worth the kernel
+        flash_ok = (self.use_flash and mask is None
                     and S >= FLASH_MIN_SEQ
+                    and k.shape[2] >= FLASH_MIN_SEQ
                     and jax.default_backend() == "tpu")
         if flash_ok:
             impl = self._splash if self.flash_impl == "splash" else self._flash
@@ -216,11 +219,8 @@ class Attention(nn.Module):
 
         B, H, S, D = q.shape
         Skv = k.shape[2]
-        Sp, BLOCK = Attention._pad_block(S)
-        Skvp, _ = Attention._pad_block(Skv)
-        # one block size must serve q and kv grids; for self-attention
-        # (the only flash route) S == Skv so the plan agrees
-        assert Sp % BLOCK == 0 and Skvp % BLOCK == 0, (Sp, Skvp, BLOCK)
+        Sp, BQ = Attention._pad_block(S)
+        Skvp, BK = Attention._pad_block(Skv)
 
         def p(t, target):
             return jnp.pad(t, ((0, 0), (0, 0), (0, target - t.shape[2]),
@@ -234,10 +234,10 @@ class Attention(nn.Module):
         # ALL block sizes (incl. backward dkv/dq) must be given or the
         # kernel refuses to differentiate (stage-2 training hits the bwd).
         bs = fa.BlockSizes(
-            block_q=BLOCK, block_k_major=BLOCK, block_k=BLOCK, block_b=1,
-            block_q_major_dkv=BLOCK, block_k_major_dkv=BLOCK,
-            block_k_dkv=BLOCK, block_q_dkv=BLOCK,
-            block_k_major_dq=BLOCK, block_k_dq=BLOCK, block_q_dq=BLOCK)
+            block_q=BQ, block_k_major=BK, block_k=BK, block_b=1,
+            block_q_major_dkv=BQ, block_k_major_dkv=BK,
+            block_k_dkv=BK, block_q_dkv=BQ,
+            block_k_major_dq=BK, block_k_dq=BK, block_q_dq=BQ)
         out = fa.flash_attention(qh, kh, vh,
                                  segment_ids=fa.SegmentIds(q=seg_q, kv=seg_kv),
                                  sm_scale=scale, block_sizes=bs)
@@ -253,9 +253,8 @@ class Attention(nn.Module):
 
         B, H, S, D = q.shape
         Skv = k.shape[2]
-        Sp, BLOCK = Attention._pad_block(S, max_block=640)
-        Skvp, _ = Attention._pad_block(Skv, max_block=640)
-        assert Sp % BLOCK == 0 and Skvp % BLOCK == 0, (Sp, Skvp, BLOCK)
+        Sp, BQ = Attention._pad_block(S, max_block=640)
+        Skvp, BK = Attention._pad_block(Skv, max_block=640)
 
         def p(t, target):
             return jnp.pad(t, ((0, 0), (0, 0), (0, target - t.shape[2]),
@@ -267,8 +266,8 @@ class Attention(nn.Module):
         seg_kv = jnp.where(jnp.arange(Skvp) < Skv, 1, 2).astype(jnp.int32)
         seg_kv = jnp.broadcast_to(seg_kv[None], (B, Skvp))
         mask = sm.MultiHeadMask([sm.FullMask((Sp, Skvp)) for _ in range(H)])
-        bs = sk.BlockSizes(block_q=BLOCK, block_kv=BLOCK,
-                           block_kv_compute=BLOCK)
+        bs = sk.BlockSizes(block_q=BQ, block_kv=BK,
+                           block_kv_compute=BK)
         kernel = sk.make_splash_mha(mask=mask, head_shards=1, q_seq_shards=1,
                                     block_sizes=bs)
 
