@@ -100,7 +100,15 @@ def main():
     except Exception as e:  # noqa: BLE001 — emit SOMETHING for the driver
         print(f"[bench] e2e path failed ({type(e).__name__}: {e}); "
               "falling back to splat microbench", file=sys.stderr)
-        out = splat_microbench()
+        try:
+            out = splat_microbench()
+        except Exception as e2:  # noqa: BLE001 — device/relay down entirely
+            print(f"[bench] splat microbench also failed "
+                  f"({type(e2).__name__}: {e2}); emitting zero metric",
+                  file=sys.stderr)
+            out = {"metric": "e2e_audio_to_512px_avatar", "value": 0.0,
+                   "unit": "fps", "vs_baseline": 0.0,
+                   "error": f"{type(e2).__name__}: device unavailable"}
     print(json.dumps(out))
 
 
