@@ -92,6 +92,36 @@ def build_avatar_config(cfg: Config) -> AvatarConfig:
     )
 
 
+# Serving profile: the bench-measured fast-inference knobs (BASELINE.md
+# round-2 trail). Forward-only, so remat off and the frame scan unrolled;
+# sparse-tile final upsample level (exact on covered tiles; cap 256 of 1024
+# covers the body projection + halo with margin); segmented Pallas splat.
+# Every key is only applied when the YAML `model.renderer` section does NOT
+# set it explicitly — a config that names a knob always wins.
+SERVING_PROFILE = {
+    "upsampler_sparse": True,
+    "upsampler_sparse_max_tiles": 256,
+    "splat_segmented": True,
+    "frames_per_chunk": 6,
+    "frames_scan_remat": False,
+    "frames_scan_unroll": 8,
+}
+
+
+def apply_serving_profile(ac: AvatarConfig, cfg: Config) -> AvatarConfig:
+    """Overlay SERVING_PROFILE onto `ac` for inference-only entrypoints
+    (demo/predict), skipping keys the YAML sets explicitly."""
+    import dataclasses
+    rd = cfg.get("model", {}).get("renderer", {}) if cfg.get("model") else {}
+    over = {k: v for k, v in SERVING_PROFILE.items() if k not in rd}
+    # audio transformer remat is a training knob too
+    an = cfg.get("model", {}).get("triplane_audio_net", {}) \
+        if cfg.get("model") else {}
+    if "transformer_remat" not in an:
+        over["audio_transformer_remat"] = False
+    return dataclasses.replace(ac, **over) if over else ac
+
+
 def build_optim_config(cfg: Config) -> OptimConfig:
     t = cfg.training
     return OptimConfig(
