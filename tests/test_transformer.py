@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -148,3 +149,20 @@ def test_final_tail_matches_full_output_tail():
     np.testing.assert_allclose(np.asarray(y_tail),
                                np.asarray(y_full[:, :, -6:]),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.quick
+def test_flash_pad_block_plan():
+    """Pad plan picks the next 128 multiple and the largest dividing block
+    (>=256), falling back to 512-blocks for block-hostile lengths."""
+    from audio_motion_avatar_tpu.models.transformer import Attention
+
+    assert Attention._pad_block(6304) == (6400, 640)   # the audio rollout
+    assert Attention._pad_block(3152) == (3200, 640)   # fusion q
+    assert Attention._pad_block(4096) == (4096, 1024)  # sapiens tokens
+    assert Attention._pad_block(512) == (512, 512)
+    assert Attention._pad_block(1024) == (1024, 1024)
+    assert Attention._pad_block(1664) == (2048, 512)   # 128*13: no divisor
+    for s in (6304, 3152, 4096, 512, 1024, 1664, 100, 129, 7777):
+        sp, b = Attention._pad_block(s)
+        assert sp >= s and sp % 128 == 0 and sp % b == 0 and b % 128 == 0
