@@ -187,12 +187,19 @@ def run_sweep(variants, batch=2, frames_per_chunk=6, reps=5,
         cfg_v = dataclasses.replace(base_cfg, **over)
         roll_v = make_rollout(cfg_v)
         print(f"[serve_bench] compiling variant {name}...", flush=True)
-        t0 = time.time()
-        fence(roll_v(params, tri, smpl, aud, cam))
-        compile_s = time.time() - t0
-        t0 = time.time()
-        for _ in range(reps):
+        try:
+            t0 = time.time()
             fence(roll_v(params, tri, smpl, aud, cam))
+            compile_s = time.time() - t0
+            t0 = time.time()
+            for _ in range(reps):
+                fence(roll_v(params, tri, smpl, aud, cam))
+        except Exception as e:  # noqa: BLE001 — a bad variant (OOM, kernel
+            # refusal) must not kill the remaining variants' measurements
+            res = {"variant": name, "error": f"{type(e).__name__}: {e}"[:300]}
+            print(json.dumps(res), flush=True)
+            results.append(res)
+            continue
         dt = (time.time() - t0) / reps
         res = {"variant": name, "fps": round((B * T_out) / dt, 2),
                "rollout_ms": round(dt * 1000.0, 2),
