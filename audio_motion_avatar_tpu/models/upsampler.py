@@ -542,7 +542,12 @@ class TriplaneUpsampler(nn.Module):
         FPc = FP * cap
         skip2x = _nearest2x(skip_patches.reshape(FPc, in_tile, in_tile, C))
         skip2x = skip2x.reshape(FP, cap, tile_px, tile_px, C)
-        tiles = (res_tiles + skip2x) * valid[..., None, None, None].astype(x.dtype)
+        # Invalid slots carry garbage (finite) values and are NEVER read:
+        # every sampler gates on slot-table holes / slot_rank presence, and
+        # tile_halo zero-gates uncovered neighbors — so no valid-mask
+        # multiply here (it cost two full HBM passes over the tile set,
+        # ~7 ms/rollout at serving scale, xprof).
+        tiles = res_tiles + skip2x
 
         Cn = tiles.shape[-1]
         return SparseTriplanes(
