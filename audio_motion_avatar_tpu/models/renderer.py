@@ -65,6 +65,24 @@ def build_renderer_statics(model: smplx_ops.SmplxModel, subdivide_steps: int = 2
     return RendererStatics(model, tables, sel)
 
 
+class _DenseParams(nn.Module):
+    """Kernel/bias params with nn.Dense's exact tree layout ({kernel, bias},
+    same shapes/init) but no forward — the Renderer fuses all five Gaussian
+    heads into one matmul (checkpoint/torch-import interop preserved)."""
+
+    features_in: int
+    features_out: int
+    kernel_init: Any
+    bias_init: Any
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", self.kernel_init,
+                       (self.features_in, self.features_out))
+        b = self.param("bias", self.bias_init, (self.features_out,))
+        return k, b
+
+
 class Renderer(nn.Module):
     triplane_resolution: int = 32
     feature_dim: int = 256
@@ -137,20 +155,25 @@ class Renderer(nn.Module):
 
         # Exact reference init (renderer.py:57-71): all-zero kernels, biases
         # xyz=0, rot=[1,0,0,0], scale=-1, opacity=inverse_sigmoid(0.1), shs=0.
-        self.xyz_layer = nn.Dense(3, kernel_init=zeros, bias_init=zeros)
-        self.rotation_layer = nn.Dense(4, kernel_init=zeros,
-                                       bias_init=bias_const([1.0, 0, 0, 0]))
-        self.scaling_layer = nn.Dense(3, kernel_init=zeros,
-                                      bias_init=bias_const([-1.0] * 3))
-        self.opacity_layer = nn.Dense(1, kernel_init=zeros,
-                                      bias_init=bias_const([inverse_sigmoid(0.1)]))
+        # Heads are params-only modules (same {name}/{kernel,bias} tree as
+        # nn.Dense) so the forward can run them as ONE fused matmul: five
+        # separate N<128-wide dots each pad the MXU lane dim to 128 AND
+        # re-read the (F, N, 771) dec_in from HBM — ~5 ms/rollout at serving
+        # scale. dot distributes over output columns, so the fused form is
+        # bitwise identical per head.
+        self.xyz_layer = _DenseParams(in_dim, 3, zeros, zeros)
+        self.rotation_layer = _DenseParams(in_dim, 4, zeros,
+                                           bias_const([1.0, 0, 0, 0]))
+        self.scaling_layer = _DenseParams(in_dim, 3, zeros,
+                                          bias_const([-1.0] * 3))
+        self.opacity_layer = _DenseParams(in_dim, 1, zeros,
+                                          bias_const([inverse_sigmoid(0.1)]))
         # rgb=True: 3 final RGB channels (reference head, renderer.py:55);
         # rgb=False: 3*(deg+1)^2 SH coefficients evaluated per view
         # (renderer.py:539-547 — the reference head stays 3-wide, which only
         # supports deg 0; widening it is the faithful generalization).
         shs_dim = 3 if self.rgb else 3 * (self.sh_degree + 1) ** 2
-        self.shs_layer = nn.Dense(shs_dim, kernel_init=zeros, bias_init=zeros)
-        del in_dim
+        self.shs_layer = _DenseParams(in_dim, shs_dim, zeros, zeros)
 
     def get_vertices(self, statics: RendererStatics, smpl_params: dict) -> jnp.ndarray:
         """SMPLX forward + static densification (renderer.py:245-290)."""
@@ -215,11 +238,14 @@ class Renderer(nn.Module):
             feats = sample(points, self.radius)
 
         dec_in = jnp.concatenate([points, feats], axis=-1)
-        xyz_off = self.xyz_layer(dec_in)
-        rot = self.rotation_layer(dec_in)
-        scale = self.scaling_layer(dec_in)
-        opacity = self.opacity_layer(dec_in)
-        shs = self.shs_layer(dec_in)
+        # one fused (.., 771) x (771, 11+shs) matmul over all five heads
+        # (bitwise-equal per column; see setup)
+        ks, bs = zip(*(h() for h in (self.xyz_layer, self.rotation_layer,
+                                     self.scaling_layer, self.opacity_layer,
+                                     self.shs_layer)))
+        head_out = dec_in @ jnp.concatenate(ks, axis=1) + jnp.concatenate(bs)
+        xyz_off, rot, scale, opacity, shs = jnp.split(
+            head_out, [3, 7, 10, 11], axis=-1)
 
         # construct_gaussians (renderer.py:319-346). The sigmoid applies in
         # BOTH color modes (reference quirk: construct_gaussians sigmoids

@@ -288,12 +288,15 @@ def _pack_sorted_params(proj: splat.Projected, width: int, height: int,
                         large_cap: int = 0, small_window: int = 2):
     """Sort-carrying-values binning for the segment-DMA composite.
 
-    The (tile, depth-rank) pair keys are sorted ONCE with the 9 packed
-    gaussian params carried as sort VALUES (lax.sort variadic) — no
-    argsort-index gathers, no (T, K) index gather, no (T, 9, K) take.
-    Measured on v5e (tools/gather_probe.py): the flat s32 gathers those
-    steps lower to run at <1 GB/s and cost ~14 ms/frame at serving scale;
-    the value-carrying sort costs ~4 ms.
+    ONE stable variadic sort on the (tile, depth) key PAIR with the 9
+    packed gaussian params carried as sort VALUES (lax.sort num_keys=2) —
+    no depth pre-argsort, no order gathers, no (T, K) index gather, no
+    (T, 9, K) take. Measured on v5e (tools/gather_probe.py): flat s32
+    gathers lower to <1 GB/s and cost ~14 ms/frame at serving scale; the
+    value-carrying sort costs ~4 ms. Within a tile the stable two-key sort
+    yields depth-ascending order; float-equal-depth ties break by candidate
+    emission order (vs gaussian index in the earlier depth-argsort form —
+    indistinguishable except on exactly-equal f32 depths).
 
     large_cap > 0 enables TWO-TIER binning: every gaussian emits a
     small_window^2 candidate block, and the `large_cap` largest-radius
@@ -316,12 +319,14 @@ def _pack_sorted_params(proj: splat.Projected, width: int, height: int,
     n = proj.mean2d.shape[0]
     K = min(max_per_tile, n)
 
-    order = jnp.argsort(proj.depth)
-    mean2d = proj.mean2d[order]
-    conic = proj.conic[order]
-    color = proj.color[order]
-    radius = jnp.where(proj.valid[order], proj.radius[order], 0.0)
-    opac = jnp.where(proj.valid[order], proj.opacity[order], 0.0)
+    mean2d = proj.mean2d
+    conic = proj.conic
+    color = proj.color
+    radius = jnp.where(proj.valid, proj.radius, 0.0)
+    opac = jnp.where(proj.valid, proj.opacity, 0.0)
+    # depth is the SECOND sort key; dead candidates go to the sentinel tile
+    # whatever their depth, but zero it anyway so no NaN enters the sort.
+    depth = jnp.where(proj.valid, proj.depth, 0.0)
 
     x0r = jnp.floor((mean2d[:, 0] - radius) / TILE)
     x1r = jnp.floor((mean2d[:, 0] + radius) / TILE)
@@ -334,11 +339,7 @@ def _pack_sorted_params(proj: splat.Projected, width: int, height: int,
     y0 = jnp.clip(y0r, 0, ty - 1).astype(jnp.int32)
     y1 = jnp.clip(y1r, 0, ty - 1).astype(jnp.int32)
 
-    rank = jnp.arange(n, dtype=jnp.int32)
-    rank_bits = max(1, (n - 1).bit_length())
-    assert (n_tiles + 1) << rank_bits <= 2 ** 31 - 1, (n_tiles, rank_bits)
-
-    def emit(x0e, y0e, x1e, y1e, alive_e, rank_e, W):
+    def emit(x0e, y0e, x1e, y1e, alive_e, W):
         off = jnp.arange(W, dtype=jnp.int32)
         gx = x0e[:, None] + off[None, :]
         gy = y0e[:, None] + off[None, :]
@@ -346,15 +347,14 @@ def _pack_sorted_params(proj: splat.Projected, width: int, height: int,
         vy = (gy <= y1e[:, None]) & (gy < ty)
         tile_id = gy[:, :, None] * tx + gx[:, None, :]      # (m, W, W)
         valid = vy[:, :, None] & vx[:, None, :] & alive_e[:, None, None]
-        return jnp.where(valid,
-                         (tile_id << rank_bits) | rank_e[:, None, None],
-                         jnp.int32(n_tiles << rank_bits)).reshape(-1)
+        return jnp.where(valid, tile_id, jnp.int32(n_tiles)).reshape(-1)
 
     def rep(v, W):
         return jnp.broadcast_to(
             v[:, None], (v.shape[0], W * W)).reshape(-1)
 
-    cols = (mean2d[:, 0], mean2d[:, 1],
+    cols = (depth,
+            mean2d[:, 0], mean2d[:, 1],
             conic[:, 0], conic[:, 1], conic[:, 2], opac,
             color[:, 0], color[:, 1], color[:, 2])
 
@@ -362,7 +362,7 @@ def _pack_sorted_params(proj: splat.Projected, width: int, height: int,
         large_cap < n
     if not two_tier:
         W = max_window
-        key = emit(x0, y0, x1, y1, alive, rank, W)
+        key = emit(x0, y0, x1, y1, alive, W)
         payload = [rep(v, W) for v in cols]
     else:
         WS, WL = small_window, max_window
@@ -372,16 +372,17 @@ def _pack_sorted_params(proj: splat.Projected, width: int, height: int,
         _, bidx = jax.lax.top_k(score, KL)                  # unique indices
         sel = score[bidx] > 0
         is_b = jnp.zeros((n,), bool).at[bidx].set(sel)
-        key_a = emit(x0, y0, x1, y1, alive & ~is_b, rank, WS)
-        key_b = emit(x0[bidx], y0[bidx], x1[bidx], y1[bidx], sel, bidx, WL)
+        key_a = emit(x0, y0, x1, y1, alive & ~is_b, WS)
+        key_b = emit(x0[bidx], y0[bidx], x1[bidx], y1[bidx], sel, WL)
         key = jnp.concatenate([key_a, key_b])
         payload = [jnp.concatenate([rep(v, WS), rep(v[bidx], WL)])
                    for v in cols]
 
     NP = key.shape[0]
-    sorted_all = jax.lax.sort((key,) + tuple(payload), num_keys=1)
+    sorted_all = jax.lax.sort((key,) + tuple(payload), num_keys=2,
+                              is_stable=True)
     keys_sorted = sorted_all[0]
-    params_sorted = jnp.stack(sorted_all[1:], axis=0)       # (9, NP)
+    params_sorted = jnp.stack(sorted_all[2:], axis=0)       # (9, NP)
     # pad rows 9 -> 16 (Mosaic DMA slices must align to the (8,128) sublane
     # tiling) and columns by the kernel's DMA window (a 128-aligned,
     # 128-chunk-multiple window covering off+K; counts/offsets mask the
@@ -390,10 +391,10 @@ def _pack_sorted_params(proj: splat.Projected, width: int, height: int,
     params_sorted = jnp.pad(params_sorted, ((0, 16 - 9), (0, win)))
 
     tids = jnp.arange(n_tiles, dtype=jnp.int32)
-    starts = jnp.searchsorted(keys_sorted, tids << rank_bits,
+    starts = jnp.searchsorted(keys_sorted, tids,
                               side="left").astype(jnp.int32)
-    ends = jnp.searchsorted(keys_sorted, (tids + 1) << rank_bits,
-                            side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(keys_sorted, tids,
+                            side="right").astype(jnp.int32)
     counts = jnp.minimum(ends - starts, K).astype(jnp.int32)
     starts = jnp.minimum(starts, NP)
     return params_sorted, starts, counts
