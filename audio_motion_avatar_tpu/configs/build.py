@@ -56,6 +56,7 @@ def build_avatar_config(cfg: Config) -> AvatarConfig:
         upsampler_sparse_pen_max_tiles=rd.get("upsampler_sparse_pen_max_tiles",
                                               128),
         upsampler_upconv=rd.get("upsampler_upconv", "poly"),
+        upsampler_conv=rd.get("upsampler_conv", "xla"),
         sample_slab=rd.get("sample_slab", False),
         sample_quad=rd.get("sample_quad", False),
         splat_segmented=rd.get("splat_segmented", False),

@@ -116,6 +116,10 @@ class Renderer(nn.Module):
     upsampler_sparse_penultimate: bool = False
     upsampler_sparse_pen_max_tiles: int = 128
     upsampler_upconv: str = "poly"        # 'poly' | 'dilated' (exact twins)
+    # ResBlock 3x3 convs: 'xla' (direct MXU conv) | 'winograd' (Pallas
+    # F(2x2,3x3), 4/9 the MACs — ops/winograd.py; bf16-rounding-class
+    # numerics, same param tree)
+    upsampler_conv: str = "xla"
     # Sparse sampling via one (2,2C) slab gather per point/plane (halves
     # gathered rows vs the 4-tap form; see ops.triplane.tile_halo).
     sample_slab: bool = False
@@ -137,6 +141,7 @@ class Renderer(nn.Module):
                 sparse_pen_max_tiles=self.upsampler_sparse_pen_max_tiles,
                 sparse_tile_px=self.upsampler_sparse_tile_px,
                 upconv=self.upsampler_upconv,
+                conv_impl=self.upsampler_conv,
                 name="upsampler")
         if self.point_refiner is not None:
             self.refine_mlp = nn.Sequential([

@@ -17,6 +17,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from ..ops import winograd
+
 
 class SparseTriplanes(NamedTuple):
     """Sparse-tile triplane output of the final upsample level.
@@ -277,10 +279,43 @@ def _mask2d(h: jnp.ndarray, rows: jnp.ndarray, cols: jnp.ndarray):
     return h * rows[:, :, :, None, None] * cols[:, :, None, :, None]
 
 
+class _WinoConv(nn.Module):
+    """`nn.Conv(features, (3, 3))` twin — identical {kernel, bias} param
+    tree — computing through the Winograd F(2x2,3x3) Pallas kernel
+    (ops/winograd.py, 4/9 the MACs of the direct MXU conv). Falls back to
+    the direct conv when the shape doesn't qualify."""
+
+    features: int
+    padding: str                      # 'SAME' | 'VALID'
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        C = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, C, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
+                                                  dtype=self.dtype)
+        if winograd.supports_winograd(x.shape, C, self.features,
+                                      self.padding):
+            return winograd.winograd_conv3x3(x, kernel, bias, self.padding)
+        return winograd.conv3x3_xla(x, kernel, bias, self.padding)
+
+
 class ResBlock(nn.Module):
     out_channels: int
     dtype: Optional[jnp.dtype] = None
     groups: int = 32
+    conv_impl: str = "xla"            # 'xla' | 'winograd'
+
+    def _conv3x3(self, name: str, padding):
+        if self.conv_impl == "winograd":
+            return _WinoConv(self.out_channels,
+                             padding="SAME" if padding == 1 else padding,
+                             name=name, dtype=self.dtype)
+        return nn.Conv(self.out_channels, (3, 3), padding=padding,
+                       name=name, dtype=self.dtype)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
@@ -294,13 +329,11 @@ class ResBlock(nn.Module):
         h = nn.GroupNorm(num_groups=self.groups, name="norm1",
                          dtype=self.dtype)(x)
         h = nn.relu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv1",
-                    dtype=self.dtype)(h)
+        h = self._conv3x3("conv1", 1)(h)
         h = nn.GroupNorm(num_groups=self.groups, name="norm2",
                          dtype=self.dtype)(h)
         h = nn.relu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv2",
-                    dtype=self.dtype)(h)
+        h = self._conv3x3("conv2", 1)(h)
         skip = x if in_ch == self.out_channels else nn.Conv(
             self.out_channels, (1, 1), name="skip", dtype=self.dtype)(x)
         return skip + h
@@ -312,8 +345,7 @@ class ResBlock(nn.Module):
         s2, b2 = _NormParams(self.out_channels, name="norm2")()
 
         def conv(name):
-            return nn.Conv(self.out_channels, (3, 3), padding="VALID",
-                           name=name, dtype=self.dtype)
+            return self._conv3x3(name, "VALID")
 
         def as_batch(t):
             return t.reshape((F * cap,) + t.shape[2:])
@@ -342,6 +374,7 @@ class UpsampleBlock(nn.Module):
     out_channels: int
     dtype: Optional[jnp.dtype] = None
     upconv: str = "poly"   # 'poly' | 'dilated' (identical math, see impls)
+    conv_impl: str = "xla"  # ResBlock 3x3 convs: 'xla' | 'winograd'
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
@@ -365,7 +398,8 @@ class UpsampleBlock(nn.Module):
         if sparse_ctx is None:
             h = upconv(x, w, b, dtype=self.dtype)
             h = nn.relu(h)
-            return ResBlock(self.out_channels, name="res", dtype=self.dtype)(h)
+            return ResBlock(self.out_channels, name="res", dtype=self.dtype,
+                            conv_impl=self.conv_impl)(h)
 
         F, cap, Pin = x.shape[:3]
         T = (Pin - 4) * 2  # tile px at the output res
@@ -377,8 +411,8 @@ class UpsampleBlock(nn.Module):
         # zero out-of-plane u positions (dense u is only defined in-plane;
         # conv SAME padding would see zeros there)
         h = _mask2d(h, sparse_ctx.u_rows, sparse_ctx.u_cols)
-        return ResBlock(self.out_channels, name="res",
-                        dtype=self.dtype)(h, sparse_ctx)
+        return ResBlock(self.out_channels, name="res", dtype=self.dtype,
+                        conv_impl=self.conv_impl)(h, sparse_ctx)
 
 
 class TriplaneUpsampler(nn.Module):
@@ -413,6 +447,7 @@ class TriplaneUpsampler(nn.Module):
     sparse_penultimate: bool = False
     sparse_pen_max_tiles: int = 128
     upconv: str = "poly"   # 'poly' | 'dilated'
+    conv_impl: str = "xla"  # ResBlock 3x3 convs: 'xla' | 'winograd'
 
     @nn.compact
     def __call__(self, planes: jnp.ndarray,
@@ -438,7 +473,8 @@ class TriplaneUpsampler(nn.Module):
         skip = x
         for i in range(n_dense):
             up = UpsampleBlock(self.feature_dim, name=f"up_{i}",
-                               dtype=self.dtype, upconv=self.upconv)(x)
+                               dtype=self.dtype, upconv=self.upconv,
+                               conv_impl=self.conv_impl)(x)
             if i == 0:
                 skip = nn.Conv(self.feature_dim, (1, 1), name="skip_proj",
                                dtype=self.dtype)(skip)
@@ -490,8 +526,8 @@ class TriplaneUpsampler(nn.Module):
                         c1_rows=axis_mask(r0, tile_px + 2, 1),
                         c1_cols=axis_mask(c0, tile_px + 2, 1))
         tiles = UpsampleBlock(self.feature_dim, name=f"up_{level}",
-                              dtype=self.dtype,
-                              upconv=self.upconv)(patches, ctx)
+                              dtype=self.dtype, upconv=self.upconv,
+                              conv_impl=self.conv_impl)(patches, ctx)
         return tiles, tile_ids, valid, slot, sorted_ids, grid, tile_px, res
 
     def _sparse_scatter_level(self, x: jnp.ndarray, skip: jnp.ndarray,

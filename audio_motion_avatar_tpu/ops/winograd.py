@@ -1,0 +1,211 @@
+"""Winograd F(2x2, 3x3) convolution as a Pallas TPU kernel.
+
+The triplane upsampler's hot convs are 3x3, C=K=256, bf16, at 256^2 dense
+planes and 18^2/20^2 sparse tile windows (reference renderer.py:348-417 uses
+plain nn.Conv2d; cuDNN picks Winograd there — on TPU, XLA lowers to direct
+MXU convolution, so the 2.25x MAC reduction must be hand-written).
+
+Design (v5e):
+  * F(2x2,3x3): each 2x2 output tile needs a 4x4 input window (stride 2).
+    Y = A^T [ (G w G^T) . (B^T d B) ] A per tile; batching the elementwise
+    product over tiles turns it into 16 (tiles, C) @ (C, K) MXU matmuls —
+    4/9 of the direct conv MACs.
+  * Layout: the W-dim phase pair is folded into lanes — x is viewed as
+    (NB, H2, PW, 2C) (a FREE reshape of the NHWC array: W2 = 2*PW is
+    contiguous with C). Lane slices at multiples of C select the W phase;
+    the H phase stays a stride-2 slice on a non-tiled dim (free address
+    arithmetic in Mosaic). No relayout pass in HBM on either side.
+  * The +2 halo rows between row-strips are fed by passing the SAME input
+    twice with different BlockSpecs (a (2*th)-row main block and a 2-row
+    tail block at offset (r+1)*2*th) — overlapping blocks without manual
+    DMA.
+  * Transforms run in the input dtype (bf16 on the serving path — the same
+    rounding class as the direct bf16 conv); the 16 matmuls accumulate in
+    fp32 (preferred_element_type), as does the A^T M A output transform.
+
+Gradient: custom_vjp — backward differentiates the mathematically equal
+XLA conv (conv VJP is itself a conv; exact at math level, bf16-rounding
+different from a hand-written Winograd VJP would be either way).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# F(2x2,3x3) transform matrices (Lavin & Gray 2015).
+_BT = np.array([[1, 0, -1, 0],
+                [0, 1, 1, 0],
+                [0, -1, 1, 0],
+                [0, 1, 0, -1]], np.float32)
+_G = np.array([[1, 0, 0],
+               [0.5, 0.5, 0.5],
+               [0.5, -0.5, 0.5],
+               [0, 0, 1]], np.float32)
+_AT = np.array([[1, 1, 1, 0],
+                [0, 1, -1, -1]], np.float32)
+
+# (row, sign) pairs of the two nonzeros in each B^T row: B^T has entries in
+# {0, +-1}, so every transform position is a signed sum of two taps.
+_BT_TAPS = ((0, 1.0, 2, -1.0),
+            (1, 1.0, 2, 1.0),
+            (1, -1.0, 2, 1.0),
+            (1, 1.0, 3, -1.0))
+
+
+def transform_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """w (3, 3, C, K) -> U (16, C, K) = G w G^T per (C, K), fp32."""
+    u = jnp.einsum("pa,qb,abck->pqck", _G, _G, w.astype(jnp.float32))
+    return u.reshape(16, w.shape[2], w.shape[3])
+
+
+def _wino_kernel(xa_ref, xb_ref, u_ref, b_ref, out_ref, *, nb, th, wh, C, K,
+                 mm_dtype):
+    """One (nb images x th tile-rows x wh tile-cols) block.
+
+    xa (nb, 2*th, PW, 2C) + xb (nb, 2, PW, 2C) = the 2*th+2 padded input
+    rows this strip needs; out (nb, 2*th, wh, 2K).
+    """
+    x = jnp.concatenate([xa_ref[...], xb_ref[...]], axis=1)
+    rows = nb * th * wh
+
+    def d(r, s):
+        # input tap (r, s) over all tiles: rows 2*i+r (H phase = stride-2
+        # slice on a non-tiled dim), cols 2*j+s (W phase = lane slice)
+        sl = x[:, r:r + 2 * th:2, s // 2:s // 2 + wh,
+               (s % 2) * C:(s % 2) * C + C]
+        return sl.reshape(rows, C).astype(mm_dtype)
+
+    y = [[None, None], [None, None]]
+    for p in range(4):
+        r0, g0, r1, g1 = _BT_TAPS[p]
+        R = [g0 * d(r0, s) + g1 * d(r1, s) for s in range(4)]
+        for q in range(4):
+            s0, h0, s1, h1 = _BT_TAPS[q]
+            v = (h0 * R[s0] + h1 * R[s1]).astype(mm_dtype)
+            m = jnp.dot(v, u_ref[4 * p + q],
+                        preferred_element_type=jnp.float32)
+            for u in range(2):
+                au = _AT[u, p]
+                if au == 0.0:
+                    continue
+                for vv in range(2):
+                    av = _AT[vv, q]
+                    if av == 0.0:
+                        continue
+                    t = m if au * av == 1.0 else -m
+                    y[u][vv] = t if y[u][vv] is None else y[u][vv] + t
+
+    bias = b_ref[0].astype(jnp.float32)
+    for u in range(2):
+        for vv in range(2):
+            o = (y[u][vv] + bias).reshape(nb, th, wh, K)
+            out_ref[:, u:2 * th:2, :, vv * K:(vv + 1) * K] = o.astype(
+                out_ref.dtype)
+
+
+def _pick_block(NB, Hh, Wh, target=512):
+    """(nb, th): images/tile-rows per kernel instance, sized so the matmul
+    M-dim (nb*th*Wh) lands near `target` rows; th always divides Hh (it
+    starts at Hh and halves). Kept at ~512 so the double-buffered input/
+    output blocks + fp32 accumulators fit comfortably in 16MB VMEM."""
+    th = Hh
+    while th > 1 and th * Wh > target and th % 2 == 0:
+        th //= 2
+    nb = 1
+    while (NB % (2 * nb) == 0) and 2 * nb * th * Wh <= target:
+        nb *= 2
+    return nb, th
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def winograd_conv3x3(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
+                     padding: str = "SAME") -> jnp.ndarray:
+    """3x3 conv, NHWC, stride 1, 'SAME' or 'VALID', via Winograd F(2x2,3x3).
+
+    x (NB, H, W, C), w (3, 3, C, K), b (K,). SAME requires even H, W; VALID
+    requires even H-2, W-2. C and K must be multiples of 128 (lane-slice
+    alignment); callers fall back to lax.conv otherwise.
+    """
+    return _winograd_fwd_impl(x, w, b, padding)
+
+
+def _winograd_fwd_impl(x, w, b, padding, interpret=None):
+    if interpret is None:
+        # pallas_call compiles only on TPU; CPU (tests) runs the interpreter
+        interpret = jax.default_backend() != "tpu"
+    NB, H, W, C = x.shape
+    K = w.shape[-1]
+    assert w.shape[:3] == (3, 3, C), w.shape
+    assert C % 128 == 0 and K % 128 == 0, (C, K)
+    if padding == "SAME":
+        assert H % 2 == 0 and W % 2 == 0, (H, W)
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        Hh, Wh = H // 2, W // 2
+    else:
+        assert padding == "VALID" and H % 2 == 0 and W % 2 == 0, (padding, H, W)
+        xp = x
+        Hh, Wh = (H - 2) // 2, (W - 2) // 2
+    H2, W2 = xp.shape[1], xp.shape[2]
+    PW = W2 // 2
+    # free view: (NB, H2, W2, C) -> (NB, H2, PW, 2C)
+    xv = xp.reshape(NB, H2, PW, 2 * C)
+
+    nb, th = _pick_block(NB, Hh, Wh)
+    grid = (NB // nb, Hh // th)
+    mm_dtype = x.dtype
+    u = transform_kernel(w).astype(mm_dtype)
+    bias = b.reshape(1, K).astype(jnp.float32)
+
+    out = pl.pallas_call(
+        partial(_wino_kernel, nb=nb, th=th, wh=Wh, C=C, K=K,
+                mm_dtype=mm_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((nb, 2 * th, PW, 2 * C),
+                         lambda ib, ir: (ib, ir, 0, 0)),
+            pl.BlockSpec((nb, 2, PW, 2 * C),
+                         lambda ib, ir: (ib, ir * th + th, 0, 0)),
+            pl.BlockSpec((16, C, K), lambda ib, ir: (0, 0, 0)),
+            pl.BlockSpec((1, K), lambda ib, ir: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((nb, 2 * th, Wh, 2 * K),
+                               lambda ib, ir: (ib, ir, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((NB, 2 * Hh, Wh, 2 * K), x.dtype),
+        interpret=interpret,
+    )(xv, xv, u, bias)
+    # free view back: (NB, 2Hh, Wh, 2K) == (NB, H', W', K)
+    return out.reshape(NB, 2 * Hh, 2 * Wh, K)
+
+
+def conv3x3_xla(x, w, b, padding="SAME"):
+    """Direct XLA conv twin (also the VJP carrier)."""
+    y = jax.lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    return (y + b.astype(jnp.float32)).astype(x.dtype)
+
+
+def _wino_fwd(x, w, b, padding):
+    return winograd_conv3x3(x, w, b, padding), (x, w, b)
+
+
+def _wino_bwd(padding, res, g):
+    x, w, b = res
+    _, vjp = jax.vjp(lambda x_, w_, b_: conv3x3_xla(x_, w_, b_, padding),
+                     x, w, b)
+    return vjp(g)
+
+
+winograd_conv3x3.defvjp(_wino_fwd, _wino_bwd)
+
+
+def supports_winograd(x_shape, C, K, padding):
+    NB, H, W = x_shape[0], x_shape[1], x_shape[2]
+    if C % 128 or K % 128:
+        return False
+    return H % 2 == 0 and W % 2 == 0 and H >= 4 and W >= 4
