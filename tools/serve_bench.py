@@ -40,7 +40,7 @@ def build(batch: int, frames_per_chunk: int, ablate: str = "none",
           splat_segmented: bool = True, upconv: str = "poly",
           sample_slab: bool = False, sparse_pen: bool = False,
           sparse_pen_cap: int = 128, splat_window: int = 4,
-          want_ctx: bool = False):
+          want_ctx: bool = False, **cfg_overrides):
     import dataclasses
     import jax
     import jax.numpy as jnp
@@ -72,7 +72,10 @@ def build(batch: int, frames_per_chunk: int, ablate: str = "none",
         # XLA overlaps chunk 0's HBM-bound tail with chunk 1's compute
         frames_scan_remat=False,
         frames_scan_unroll=8,
-        audio_transformer_remat=False)
+        audio_transformer_remat=False,
+        # extra AvatarConfig fields (e.g. sample_quad, upsampler_conv) —
+        # lets bench.py pin the production profile without new kwargs
+        **cfg_overrides)
     smplx_model = smplx_ops.synthetic_model(seed=0)
     statics = build_renderer_statics(smplx_model,
                                      subdivide_steps=cfg.subdivide_steps,
@@ -227,13 +230,15 @@ def run_sweep(variants, batch=2, frames_per_chunk=6, reps=5,
 def run(batch=2, frames_per_chunk=6, ablate="none", reps=5,
         image_size=(512, 512), sparse=False, sparse_cap=384, sparse_tile=16,
         splat_segmented=True, upconv="poly", sample_slab=False,
-        sparse_pen=False, sparse_pen_cap=128, splat_window=4):
+        sparse_pen=False, sparse_pen_cap=128, splat_window=4,
+        **cfg_overrides):
     rollout, params, args_, (B, T_out) = build(batch, frames_per_chunk,
                                                ablate, image_size, sparse,
                                                sparse_cap, sparse_tile,
                                                splat_segmented, upconv,
                                                sample_slab, sparse_pen,
-                                               sparse_pen_cap, splat_window)
+                                               sparse_pen_cap, splat_window,
+                                               **cfg_overrides)
     tri, smpl, aud, cam = args_
 
     def fence(out):
