@@ -222,6 +222,33 @@ def run_demo(cfg, model, statics, ac, state, audio_path, output_path):
         verts = np.asarray(smplx_ops.forward(
             statics.smplx_model, flat_pred,
             flat_hand_mean=ac.flat_hand_mean)).reshape(2, T_out, -1, 3)
+
+        # Sparse-upsampler cap saturation guard (diagnostic): estimate the
+        # per-plane covered-tile count (same cell mapping + 3x3 halo as
+        # select_tiles, from the base SMPLX verts — densified points stay
+        # inside the dilation) and warn when the cap truncates the body.
+        if ac.upsampler_sparse:
+            res = ac.triplane_resolution * 2 ** ac.num_upsample_blocks
+            grid = res // ac.upsampler_sparse_tile_px
+            u = np.clip(verts / ac.radius, -1.0, 1.0)
+            cell = np.clip(np.floor(
+                (u + 1.0) * (grid / 2.0)
+                - 0.5 / ac.upsampler_sparse_tile_px), 0, grid - 1)
+            worst = 0
+            for a0, a1 in ((0, 1), (0, 2), (1, 2)):
+                cov = np.zeros((2 * T_out, grid + 2, grid + 2), bool)
+                fi = np.repeat(np.arange(2 * T_out), verts.shape[2])
+                cx = cell[..., a0].reshape(-1).astype(int)
+                cy = cell[..., a1].reshape(-1).astype(int)
+                for dr in range(3):
+                    for dc in range(3):
+                        cov[fi, cy + dr, cx + dc] = True
+                worst = max(worst, int(cov.sum(axis=(1, 2)).max()))
+            if worst > ac.upsampler_sparse_max_tiles:
+                print(f"[demo] WARNING: body covers ~{worst} tiles > "
+                      f"sparse cap {ac.upsampler_sparse_max_tiles} — "
+                      f"low-priority halo tiles are being dropped; raise "
+                      f"upsampler_sparse_max_tiles if artifacts appear")
         transl = np.asarray(pred["transl"]).reshape(2, T_out, 3)
         Ks = np.asarray(tgt.cam_parms["intrinsic"])
         Es = np.asarray(tgt.cam_parms["extrinsic"])
