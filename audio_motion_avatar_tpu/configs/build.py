@@ -106,6 +106,10 @@ SERVING_PROFILE = {
     "frames_per_chunk": 6,
     "frames_scan_remat": False,
     "frames_scan_unroll": 8,
+    # quad-row sparse sampling: exact (tests/test_triplane.py quad suite);
+    # 1 descriptor-bound gather + 1 index build per point/plane instead of
+    # 4+4 (gather_probe A1/A6: a 4C-wide row costs the same as a C row)
+    "sample_quad": True,
 }
 
 

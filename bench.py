@@ -38,7 +38,8 @@ def e2e_serving():
     # models/upsampler.py)
     from tools.serve_bench import run
     res = run(batch=2, frames_per_chunk=6, ablate="none", reps=3,
-              image_size=(512, 512), sparse=True, sparse_cap=256)
+              image_size=(512, 512), sparse=True, sparse_cap=256,
+              sample_quad=True)
     return {
         "metric": "e2e_audio_to_512px_avatar",
         "value": round(res["fps"], 2),
