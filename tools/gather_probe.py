@@ -167,6 +167,35 @@ def main():
         return jax.vmap(one)(x, r, c).sum()
     bench(jax.jit(d2), planes, r0, c0, name="D2 patch gather row-segment slices")
 
+    def d3(x, r, c):  # whole-patch gather: ONE (P, P, C) slice per tile
+        def one(xx, rr, cc):
+            st = jnp.stack([rr, cc], -1)                         # (CAP, 2)
+            return lax.gather(
+                xx, st,
+                lax.GatherDimensionNumbers(
+                    offset_dims=(1, 2, 3), collapsed_slice_dims=(),
+                    start_index_map=(0, 1)),
+                slice_sizes=(P, P, C), mode="clip")
+        return jax.vmap(one)(x, r, c).sum()
+    bench(jax.jit(d3), planes, r0, c0, name="D3 patch gather whole-patch slices")
+
+    def d4(x, r, c):  # row-PAIR segments: (2, P, C) slices, half the
+        # descriptors of D2 (patch row starts are always even in the
+        # sparse upsampler: tile_row * in_tile - halo with in_tile, halo even)
+        def one(xx, rr, cc):
+            rows = (rr[:, None] + 2 * jnp.arange(P // 2)).reshape(-1)
+            cstart = jnp.repeat(cc, P // 2)
+            st = jnp.stack([rows, cstart], -1)
+            out = lax.gather(
+                xx, st,
+                lax.GatherDimensionNumbers(
+                    offset_dims=(1, 2, 3), collapsed_slice_dims=(),
+                    start_index_map=(0, 1)),
+                slice_sizes=(2, P, C), mode="clip")
+            return out
+        return jax.vmap(one)(x, r, c).sum()
+    bench(jax.jit(d4), planes, r0, c0, name="D4 patch gather row-pair slices")
+
 
 if __name__ == "__main__":
     main()
