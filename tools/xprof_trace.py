@@ -26,11 +26,13 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
 
 
-def capture(out_dir, batch, frames, sparse, cap, tile, upconv="poly", reps=3):
+def capture(out_dir, batch, frames, sparse, cap, tile, upconv="poly", reps=3,
+            **cfg_overrides):
     import jax
     from serve_bench import build
     rollout, params, args_, _ = build(batch, frames, "none", (512, 512),
-                                      sparse, cap, tile, upconv=upconv)
+                                      sparse, cap, tile, upconv=upconv,
+                                      **cfg_overrides)
     tri, smpl, aud, cam = args_
 
     def fence(out):
@@ -181,13 +183,22 @@ def main():
     ap.add_argument("--sparse-tile", type=int, default=16)
     ap.add_argument("--top", type=int, default=50)
     ap.add_argument("--upconv", default="poly", choices=["poly", "dilated"])
+    ap.add_argument("--quad", action="store_true",
+                    help="sample_quad=True")
+    ap.add_argument("--wino", action="store_true",
+                    help="upsampler_conv='winograd'")
     ap.add_argument("--out", default="/tmp/ama_trace")
     ap.add_argument("--analyze-only", action="store_true")
     a = ap.parse_args()
     if not a.analyze_only:
         os.makedirs(a.out, exist_ok=True)
+        over = {}
+        if a.quad:
+            over["sample_quad"] = True
+        if a.wino:
+            over["upsampler_conv"] = "winograd"
         capture(a.out, a.batch, a.frames_per_chunk, a.sparse, a.sparse_cap,
-                a.sparse_tile, upconv=a.upconv)
+                a.sparse_tile, upconv=a.upconv, **over)
     analyze(a.out, a.top)
 
 
