@@ -290,15 +290,24 @@ class _WinoConv(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, gn=None) -> jnp.ndarray:
         C = x.shape[-1]
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (3, 3, C, self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
                                                   dtype=self.dtype)
-        if winograd.supports_winograd(x.shape, C, self.features,
-                                      self.padding):
+        ok = winograd.supports_winograd(x.shape, C, self.features,
+                                        self.padding)
+        if gn is not None:
+            # fused conv3x3(relu(a*x + c)) — see winograd_conv3x3_gn_relu
+            a, c = gn
+            if ok:
+                return winograd.winograd_conv3x3_gn_relu(
+                    x, kernel, bias, a, c, self.padding)
+            return winograd.conv3x3_gn_relu_xla(x, kernel, bias, a, c,
+                                                self.padding)
+        if ok:
             return winograd.winograd_conv3x3(x, kernel, bias, self.padding)
         return winograd.conv3x3_xla(x, kernel, bias, self.padding)
 
@@ -307,15 +316,27 @@ class ResBlock(nn.Module):
     out_channels: int
     dtype: Optional[jnp.dtype] = None
     groups: int = 32
-    conv_impl: str = "xla"            # 'xla' | 'winograd'
+    conv_impl: str = "xla"   # 'xla' | 'winograd' | 'winograd_gn'
 
     def _conv3x3(self, name: str, padding):
-        if self.conv_impl == "winograd":
+        if self.conv_impl in ("winograd", "winograd_gn"):
             return _WinoConv(self.out_channels,
                              padding="SAME" if padding == 1 else padding,
                              name=name, dtype=self.dtype)
         return nn.Conv(self.out_channels, (3, 3), padding=padding,
                        name=name, dtype=self.dtype)
+
+    def _gn_relu_conv(self, x: jnp.ndarray, norm_name: str,
+                      conv_name: str) -> jnp.ndarray:
+        """Dense conv3x3(relu(GN(x))) with the affine+relu fused into the
+        Winograd window assembly (winograd_gn) — the normalized tensor
+        never round-trips HBM. Same param tree as GroupNorm + Conv."""
+        C = x.shape[-1]
+        s, b = _NormParams(C, name=norm_name)()
+        a, c = winograd.gn_affine(x, s, b, self.groups)
+        kernel = _WinoConv(self.out_channels, padding="SAME",
+                           name=conv_name, dtype=self.dtype)
+        return kernel(x, gn=(a, c))
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
@@ -326,14 +347,21 @@ class ResBlock(nn.Module):
         if sparse_ctx is not None:
             return self._sparse(x, sparse_ctx)
         in_ch = x.shape[-1]
-        h = nn.GroupNorm(num_groups=self.groups, name="norm1",
-                         dtype=self.dtype)(x)
-        h = nn.relu(h)
-        h = self._conv3x3("conv1", 1)(h)
-        h = nn.GroupNorm(num_groups=self.groups, name="norm2",
-                         dtype=self.dtype)(h)
-        h = nn.relu(h)
-        h = self._conv3x3("conv2", 1)(h)
+        if (self.conv_impl == "winograd_gn"
+                and winograd.supports_winograd(x.shape, in_ch,
+                                               self.out_channels, "SAME")
+                and in_ch % 128 == 0):
+            h = self._gn_relu_conv(x, "norm1", "conv1")
+            h = self._gn_relu_conv(h, "norm2", "conv2")
+        else:
+            h = nn.GroupNorm(num_groups=self.groups, name="norm1",
+                             dtype=self.dtype)(x)
+            h = nn.relu(h)
+            h = self._conv3x3("conv1", 1)(h)
+            h = nn.GroupNorm(num_groups=self.groups, name="norm2",
+                             dtype=self.dtype)(h)
+            h = nn.relu(h)
+            h = self._conv3x3("conv2", 1)(h)
         skip = x if in_ch == self.out_channels else nn.Conv(
             self.out_channels, (1, 1), name="skip", dtype=self.dtype)(x)
         return skip + h

@@ -70,6 +70,13 @@ def _wino_kernel(xa_ref, xb_ref, u_ref, b_ref, out_ref, *, nb, th, wh, C, K,
     rows this strip needs; out (nb, 2*th, wh, 2K).
     """
     x = jnp.concatenate([xa_ref[...], xb_ref[...]], axis=1)
+    _wino_core(x, u_ref, b_ref, out_ref, nb=nb, th=th, wh=wh, C=C, K=K,
+               mm_dtype=mm_dtype)
+
+
+def _wino_core(x, u_ref, b_ref, out_ref, *, nb, th, wh, C, K, mm_dtype):
+    """Shared transform/matmul/inverse core on the assembled (nb, 2*th+2,
+    PW, 2C) input window."""
     rows = nb * th * wh
 
     def d(r, s):
@@ -105,6 +112,30 @@ def _wino_kernel(xa_ref, xb_ref, u_ref, b_ref, out_ref, *, nb, th, wh, C, K,
             o = (y[u][vv] + bias).reshape(nb, th, wh, K)
             out_ref[:, u:2 * th:2, :, vv * K:(vv + 1) * K] = o.astype(
                 out_ref.dtype)
+
+
+def _wino_gn_kernel(xa_ref, xb_ref, u_ref, b_ref, a_ref, c_ref, cmask_ref,
+                    out_ref, *, nb, th, wh, C, K, mm_dtype, H, same):
+    """Winograd block with the GroupNorm affine + relu FUSED into the input
+    window assembly: computes conv3x3(relu(a*x + c)) without the normalized
+    tensor ever visiting HBM (saves a full write+read of it per conv).
+
+    a/c: per-image effective affine, duplicated over the two lane phases
+    (nb, 2C). `same`: zero the padded border AFTER the affine (the dense
+    conv pads the NORMALIZED tensor, and relu(c) != 0) — rows via the strip
+    id, cols via the precomputed (PW, 2C) mask.
+    """
+    x = jnp.concatenate([xa_ref[...], xb_ref[...]], axis=1)
+    xn = jnp.maximum(
+        x.astype(jnp.float32) * a_ref[...][:, None, None, :]
+        + c_ref[...][:, None, None, :], 0.0)
+    if same:
+        lrow = jax.lax.broadcasted_iota(jnp.int32, xn.shape, 1)
+        grow = pl.program_id(1) * (2 * th) + lrow
+        xn = jnp.where((grow >= 1) & (grow <= H), xn, 0.0)
+        xn = xn * cmask_ref[...]
+    _wino_core(xn.astype(mm_dtype), u_ref, b_ref, out_ref, nb=nb, th=th,
+               wh=wh, C=C, K=K, mm_dtype=mm_dtype)
 
 
 def _pick_block(NB, Hh, Wh, target=512):
@@ -179,6 +210,126 @@ def _winograd_fwd_impl(x, w, b, padding, interpret=None):
     )(xv, xv, u, bias)
     # free view back: (NB, 2Hh, Wh, 2K) == (NB, H', W', K)
     return out.reshape(NB, 2 * Hh, 2 * Wh, K)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5,))
+def winograd_conv3x3_gn_relu(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
+                             a: jnp.ndarray, c: jnp.ndarray,
+                             padding: str = "SAME") -> jnp.ndarray:
+    """conv3x3(relu(a * x + c)) with the per-image channel affine (the
+    folded GroupNorm) and relu fused into the Winograd window assembly.
+
+    x (NB, H, W, C) RAW (pre-norm); a/c (NB, C) effective affine:
+    a = gamma * rsqrt(var + eps) per channel, c = beta - mean * a.
+    The normalized tensor never round-trips HBM (one write + one read of
+    an (NB, H, W, C) tensor saved per conv vs normalize-then-conv).
+    """
+    return _winograd_gn_fwd_impl(x, w, b, a, c, padding)
+
+
+def _winograd_gn_fwd_impl(x, w, b, a, c, padding, interpret=None):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    NB, H, W, C = x.shape
+    K = w.shape[-1]
+    assert w.shape[:3] == (3, 3, C), w.shape
+    assert a.shape == (NB, C) and c.shape == (NB, C), (a.shape, c.shape)
+    assert C % 128 == 0 and K % 128 == 0, (C, K)
+    same = padding == "SAME"
+    if same:
+        assert H % 2 == 0 and W % 2 == 0, (H, W)
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        Hh, Wh = H // 2, W // 2
+    else:
+        assert padding == "VALID" and H % 2 == 0 and W % 2 == 0, (padding, H, W)
+        xp = x
+        Hh, Wh = (H - 2) // 2, (W - 2) // 2
+    H2, W2 = xp.shape[1], xp.shape[2]
+    PW = W2 // 2
+    xv = xp.reshape(NB, H2, PW, 2 * C)
+
+    nb, th = _pick_block(NB, Hh, Wh)
+    grid = (NB // nb, Hh // th)
+    mm_dtype = x.dtype
+    u = transform_kernel(w).astype(mm_dtype)
+    bias = b.reshape(1, K).astype(jnp.float32)
+    a2 = jnp.concatenate([a, a], axis=-1).astype(jnp.float32)   # lane phases
+    c2 = jnp.concatenate([c, c], axis=-1).astype(jnp.float32)
+    # column validity of the padded view: phase-0 col 2p invalid at p=0,
+    # phase-1 col 2p+1 invalid at p=PW-1 (only under SAME padding)
+    if same:
+        p_idx = np.arange(PW)
+        cm = np.ones((PW, 2 * C), np.float32)
+        cm[0, :C] = 0.0
+        cm[PW - 1, C:] = 0.0
+        del p_idx
+    else:
+        cm = np.ones((PW, 2 * C), np.float32)
+    cmask = jnp.asarray(cm)
+
+    out = pl.pallas_call(
+        partial(_wino_gn_kernel, nb=nb, th=th, wh=Wh, C=C, K=K,
+                mm_dtype=mm_dtype, H=H, same=same),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((nb, 2 * th, PW, 2 * C),
+                         lambda ib, ir: (ib, ir, 0, 0)),
+            pl.BlockSpec((nb, 2, PW, 2 * C),
+                         lambda ib, ir: (ib, ir * th + th, 0, 0)),
+            pl.BlockSpec((16, C, K), lambda ib, ir: (0, 0, 0)),
+            pl.BlockSpec((1, K), lambda ib, ir: (0, 0)),
+            pl.BlockSpec((nb, 2 * C), lambda ib, ir: (ib, 0)),
+            pl.BlockSpec((nb, 2 * C), lambda ib, ir: (ib, 0)),
+            pl.BlockSpec((PW, 2 * C), lambda ib, ir: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((nb, 2 * th, Wh, 2 * K),
+                               lambda ib, ir: (ib, ir, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((NB, 2 * Hh, Wh, 2 * K), x.dtype),
+        interpret=interpret,
+    )(xv, xv, u, bias, a2, c2, cmask)
+    return out.reshape(NB, 2 * Hh, 2 * Wh, K)
+
+
+def conv3x3_gn_relu_xla(x, w, b, a, c, padding="SAME"):
+    """Unfused twin: normalize+relu in fp32, then the direct conv (also the
+    VJP carrier for the fused kernel)."""
+    h = jnp.maximum(x.astype(jnp.float32) * a[:, None, None, :]
+                    + c[:, None, None, :], 0.0).astype(x.dtype)
+    return conv3x3_xla(h, w, b, padding)
+
+
+def _wino_gn_fwd(x, w, b, a, c, padding):
+    return winograd_conv3x3_gn_relu(x, w, b, a, c, padding), (x, w, b, a, c)
+
+
+def _wino_gn_bwd(padding, res, g):
+    x, w, b, a, c = res
+    _, vjp = jax.vjp(
+        lambda x_, w_, b_, a_, c_: conv3x3_gn_relu_xla(x_, w_, b_, a_, c_,
+                                                       padding),
+        x, w, b, a, c)
+    return vjp(g)
+
+
+winograd_conv3x3_gn_relu.defvjp(_wino_gn_fwd, _wino_gn_bwd)
+
+
+def gn_affine(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
+              groups: int, eps: float = 1e-6):
+    """Fold GroupNorm statistics of x (NB, H, W, C) into a per-image
+    channel affine: returns (a, c) with relu(a*x + c) == relu(GN(x)).
+    One fp32 pass (sum + sum-of-squares)."""
+    NB, H, W, C = x.shape
+    Cg = C // groups
+    g = x.astype(jnp.float32).reshape(NB, H * W, groups, Cg)
+    m = g.mean(axis=(1, 3))                                    # (NB, groups)
+    var = jnp.maximum((g * g).mean(axis=(1, 3)) - m * m, 0.0)
+    inv = jax.lax.rsqrt(var + eps)                             # (NB, groups)
+    sg = scale.astype(jnp.float32).reshape(groups, Cg)
+    bg = bias.astype(jnp.float32).reshape(groups, Cg)
+    a = (inv[:, :, None] * sg[None]).reshape(NB, C)
+    c = (bg[None] - (m * inv)[:, :, None] * sg[None]).reshape(NB, C)
+    return a, c
 
 
 def conv3x3_xla(x, w, b, padding="SAME"):

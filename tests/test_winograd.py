@@ -113,3 +113,56 @@ def test_upsampler_winograd_matches_xla_dense_and_sparse():
     feats_x = np.asarray(T.sample_triplane_sparse(sp_x, pts, 1.4))
     feats_w = np.asarray(T.sample_triplane_sparse(sp_w, pts, 1.4))
     np.testing.assert_allclose(feats_w, feats_x, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("padding,shape", [
+    ("SAME", (2, 16, 16, 128)),
+    ("VALID", (3, 18, 18, 128)),
+])
+def test_gn_fused_matches_unfused(padding, shape):
+    """conv3x3(relu(a*x+c)) fused kernel == normalize-then-direct-conv."""
+    x = _rand(shape, 10)
+    w = _rand((3, 3, shape[-1], 128), 11, 0.1)
+    b = _rand((128,), 12)
+    a = _rand((shape[0], shape[-1]), 13, 0.3) + 1.0
+    c = _rand((shape[0], shape[-1]), 14, 0.3)
+    ref = W.conv3x3_gn_relu_xla(x, w, b, a, c, padding)
+    out = W._winograd_gn_fwd_impl(x, w, b, a, c, padding, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_gn_affine_matches_groupnorm():
+    import flax.linen as nn
+    x = _rand((2, 8, 8, 128), 15)
+    scale = _rand((128,), 16, 0.2) + 1.0
+    bias = _rand((128,), 17, 0.2)
+    gn = nn.GroupNorm(num_groups=32)
+    ref = np.maximum(np.asarray(gn.apply(
+        {"params": {"scale": scale, "bias": bias}}, x)), 0.0)
+    a, c = W.gn_affine(x, scale, bias, 32)
+    out = np.maximum(np.asarray(x) * np.asarray(a)[:, None, None, :]
+                     + np.asarray(c)[:, None, None, :], 0.0)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_resblock_winograd_gn_matches_xla():
+    """ResBlock conv_impl='winograd_gn' == the plain GroupNorm+conv block
+    (fp32), with the identical param tree."""
+    from audio_motion_avatar_tpu.models.upsampler import ResBlock
+    x = _rand((2, 16, 16, 128), 18)
+    rb_x = ResBlock(128)
+    rb_w = ResBlock(128, conv_impl="winograd_gn")
+    v = rb_x.init(jax.random.PRNGKey(0), x)
+    v2 = rb_w.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v2)
+    # non-trivial norm/conv params
+    import jax.tree_util as jtu
+    leaves, treedef = jtu.tree_flatten(v)
+    rngs = jax.random.split(jax.random.PRNGKey(1), len(leaves))
+    v = jtu.tree_unflatten(treedef, [
+        l + 0.05 * jax.random.normal(r, l.shape, l.dtype)
+        for l, r in zip(leaves, rngs)])
+    out_x = np.asarray(rb_x.apply(v, x))
+    out_w = np.asarray(rb_w.apply(v, x))
+    np.testing.assert_allclose(out_w, out_x, rtol=3e-4, atol=3e-4)
