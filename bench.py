@@ -95,7 +95,33 @@ def splat_microbench():
     }
 
 
+def _probe_device(timeout_s: int = 600):
+    """A relay outage makes backend init HANG inside a C-level RPC — a
+    SIGALRM handler never runs (verified live), so probe a trivial op in a
+    SUBPROCESS with a hard timeout. 600s covers post-kill chip wedge
+    recovery (~190s observed)."""
+    import subprocess
+
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import jax, jax.numpy as jnp; print(float(jnp.ones(8).sum()))"],
+        timeout=timeout_s, capture_output=True, text=True)
+    if r.returncode != 0:
+        raise RuntimeError(f"device probe failed: {r.stderr[-300:]}")
+
+
 def main():
+    try:
+        _probe_device()
+    except BaseException as e:  # noqa: BLE001 — relay down/hung: nothing
+        # below can run (any device op would block forever), so emit the
+        # zero metric immediately
+        print(f"[bench] device probe failed ({type(e).__name__}: {e}); "
+              "emitting zero metric", file=sys.stderr)
+        print(json.dumps({"metric": "e2e_audio_to_512px_avatar",
+                          "value": 0.0, "unit": "fps", "vs_baseline": 0.0,
+                          "error": f"{type(e).__name__}: device unavailable"}))
+        return
     try:
         out = e2e_serving()
     except Exception as e:  # noqa: BLE001 — emit SOMETHING for the driver
