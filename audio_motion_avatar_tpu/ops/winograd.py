@@ -66,8 +66,8 @@ def _wino_kernel(xa_ref, xb_ref, u_ref, b_ref, out_ref, *, nb, th, wh, C, K,
                  mm_dtype):
     """One (nb images x th tile-rows x wh tile-cols) block.
 
-    xa (nb, 2*th, PW, 2C) + xb (nb, 2, PW, 2C) = the 2*th+2 padded input
-    rows this strip needs; out (nb, 2*th, wh, 2K).
+    xa (nb, th, 2, PW, 2C) + xb (nb, 1, 2, PW, 2C) = the th+1 padded input
+    pair-rows this strip needs; out (nb, th, 2, wh, 2K).
     """
     x = jnp.concatenate([xa_ref[...], xb_ref[...]], axis=1)
     _wino_core(x, u_ref, b_ref, out_ref, nb=nb, th=th, wh=wh, C=C, K=K,
@@ -75,14 +75,19 @@ def _wino_kernel(xa_ref, xb_ref, u_ref, b_ref, out_ref, *, nb, th, wh, C, K,
 
 
 def _wino_core(x, u_ref, b_ref, out_ref, *, nb, th, wh, C, K, mm_dtype):
-    """Shared transform/matmul/inverse core on the assembled (nb, 2*th+2,
-    PW, 2C) input window."""
+    """Shared transform/matmul/inverse core on the assembled
+    (nb, th+1, 2, PW, 2C) input window.
+
+    Every tap is a static UNIT-STRIDE slice: the H phase is its own unit
+    dim (free reshape outside), the W phase rides the lane dim — Mosaic
+    rejects stride-2 slices on >2D operands (they lower as gathers;
+    verified via cross-platform jax.export lowering)."""
     rows = nb * th * wh
 
     def d(r, s):
-        # input tap (r, s) over all tiles: rows 2*i+r (H phase = stride-2
-        # slice on a non-tiled dim), cols 2*j+s (W phase = lane slice)
-        sl = x[:, r:r + 2 * th:2, s // 2:s // 2 + wh,
+        # input tap (r, s) over all tiles: pair-row r//2 + i, H phase r%2,
+        # pair-col s//2 + j, W phase = lane slice
+        sl = x[:, r // 2:r // 2 + th, r % 2, s // 2:s // 2 + wh,
                (s % 2) * C:(s % 2) * C + C]
         return sl.reshape(rows, C).astype(mm_dtype)
 
@@ -110,7 +115,7 @@ def _wino_core(x, u_ref, b_ref, out_ref, *, nb, th, wh, C, K, mm_dtype):
     for u in range(2):
         for vv in range(2):
             o = (y[u][vv] + bias).reshape(nb, th, wh, K)
-            out_ref[:, u:2 * th:2, :, vv * K:(vv + 1) * K] = o.astype(
+            out_ref[:, :, u, :, vv * K:(vv + 1) * K] = o.astype(
                 out_ref.dtype)
 
 
@@ -121,19 +126,20 @@ def _wino_gn_kernel(xa_ref, xb_ref, u_ref, b_ref, a_ref, c_ref, cmask_ref,
     tensor ever visiting HBM (saves a full write+read of it per conv).
 
     a/c: per-image effective affine, duplicated over the two lane phases
-    (nb, 2C). `same`: zero the padded border AFTER the affine (the dense
+    (nb, 1, 2C). `same`: zero the padded border AFTER the affine (the dense
     conv pads the NORMALIZED tensor, and relu(c) != 0) — rows via the strip
     id, cols via the precomputed (PW, 2C) mask.
     """
     x = jnp.concatenate([xa_ref[...], xb_ref[...]], axis=1)
-    xn = jnp.maximum(
-        x.astype(jnp.float32) * a_ref[...][:, None, None, :]
-        + c_ref[...][:, None, None, :], 0.0)
+    aff_a = a_ref[...][:, :, None, None, :]        # (nb,1,1,1,2C)
+    aff_c = c_ref[...][:, :, None, None, :]
+    xn = jnp.maximum(x.astype(jnp.float32) * aff_a + aff_c, 0.0)
     if same:
-        lrow = jax.lax.broadcasted_iota(jnp.int32, xn.shape, 1)
-        grow = pl.program_id(1) * (2 * th) + lrow
+        pair = jax.lax.broadcasted_iota(jnp.int32, xn.shape, 1)
+        phase = jax.lax.broadcasted_iota(jnp.int32, xn.shape, 2)
+        grow = (pl.program_id(1) * th + pair) * 2 + phase
         xn = jnp.where((grow >= 1) & (grow <= H), xn, 0.0)
-        xn = xn * cmask_ref[...]
+        xn = xn * cmask_ref[...][None, None, None, :, :]
     _wino_core(xn.astype(mm_dtype), u_ref, b_ref, out_ref, nb=nb, th=th,
                wh=wh, C=C, K=K, mm_dtype=mm_dtype)
 
@@ -181,9 +187,9 @@ def _winograd_fwd_impl(x, w, b, padding, interpret=None):
         xp = x
         Hh, Wh = (H - 2) // 2, (W - 2) // 2
     H2, W2 = xp.shape[1], xp.shape[2]
-    PW = W2 // 2
-    # free view: (NB, H2, W2, C) -> (NB, H2, PW, 2C)
-    xv = xp.reshape(NB, H2, PW, 2 * C)
+    PH, PW = H2 // 2, W2 // 2
+    # free view: (NB, H2, W2, C) -> (NB, PH, 2, PW, 2C)
+    xv = xp.reshape(NB, PH, 2, PW, 2 * C)
 
     nb, th = _pick_block(NB, Hh, Wh)
     grid = (NB // nb, Hh // th)
@@ -196,19 +202,19 @@ def _winograd_fwd_impl(x, w, b, padding, interpret=None):
                 mm_dtype=mm_dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((nb, 2 * th, PW, 2 * C),
-                         lambda ib, ir: (ib, ir, 0, 0)),
-            pl.BlockSpec((nb, 2, PW, 2 * C),
-                         lambda ib, ir: (ib, ir * th + th, 0, 0)),
+            pl.BlockSpec((nb, th, 2, PW, 2 * C),
+                         lambda ib, ir: (ib, ir, 0, 0, 0)),
+            pl.BlockSpec((nb, 1, 2, PW, 2 * C),
+                         lambda ib, ir: (ib, ir * th + th, 0, 0, 0)),
             pl.BlockSpec((16, C, K), lambda ib, ir: (0, 0, 0)),
             pl.BlockSpec((1, K), lambda ib, ir: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((nb, 2 * th, Wh, 2 * K),
-                               lambda ib, ir: (ib, ir, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((NB, 2 * Hh, Wh, 2 * K), x.dtype),
+        out_specs=pl.BlockSpec((nb, th, 2, Wh, 2 * K),
+                               lambda ib, ir: (ib, ir, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((NB, Hh, 2, Wh, 2 * K), x.dtype),
         interpret=interpret,
     )(xv, xv, u, bias)
-    # free view back: (NB, 2Hh, Wh, 2K) == (NB, H', W', K)
+    # free view back: (NB, Hh, 2, Wh, 2K) == (NB, H', W', K)
     return out.reshape(NB, 2 * Hh, 2 * Wh, K)
 
 
@@ -245,26 +251,24 @@ def _winograd_gn_fwd_impl(x, w, b, a, c, padding, interpret=None):
         xp = x
         Hh, Wh = (H - 2) // 2, (W - 2) // 2
     H2, W2 = xp.shape[1], xp.shape[2]
-    PW = W2 // 2
-    xv = xp.reshape(NB, H2, PW, 2 * C)
+    PH, PW = H2 // 2, W2 // 2
+    xv = xp.reshape(NB, PH, 2, PW, 2 * C)
 
     nb, th = _pick_block(NB, Hh, Wh)
     grid = (NB // nb, Hh // th)
     mm_dtype = x.dtype
     u = transform_kernel(w).astype(mm_dtype)
     bias = b.reshape(1, K).astype(jnp.float32)
-    a2 = jnp.concatenate([a, a], axis=-1).astype(jnp.float32)   # lane phases
-    c2 = jnp.concatenate([c, c], axis=-1).astype(jnp.float32)
+    # lane-phase duplication + a unit middle dim (Mosaic block constraint:
+    # last two block dims divisible by (8, 128) OR equal to the array dims)
+    a2 = jnp.concatenate([a, a], axis=-1).astype(jnp.float32)[:, None, :]
+    c2 = jnp.concatenate([c, c], axis=-1).astype(jnp.float32)[:, None, :]
     # column validity of the padded view: phase-0 col 2p invalid at p=0,
     # phase-1 col 2p+1 invalid at p=PW-1 (only under SAME padding)
+    cm = np.ones((PW, 2 * C), np.float32)
     if same:
-        p_idx = np.arange(PW)
-        cm = np.ones((PW, 2 * C), np.float32)
         cm[0, :C] = 0.0
         cm[PW - 1, C:] = 0.0
-        del p_idx
-    else:
-        cm = np.ones((PW, 2 * C), np.float32)
     cmask = jnp.asarray(cm)
 
     out = pl.pallas_call(
@@ -272,19 +276,19 @@ def _winograd_gn_fwd_impl(x, w, b, a, c, padding, interpret=None):
                 mm_dtype=mm_dtype, H=H, same=same),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((nb, 2 * th, PW, 2 * C),
-                         lambda ib, ir: (ib, ir, 0, 0)),
-            pl.BlockSpec((nb, 2, PW, 2 * C),
-                         lambda ib, ir: (ib, ir * th + th, 0, 0)),
+            pl.BlockSpec((nb, th, 2, PW, 2 * C),
+                         lambda ib, ir: (ib, ir, 0, 0, 0)),
+            pl.BlockSpec((nb, 1, 2, PW, 2 * C),
+                         lambda ib, ir: (ib, ir * th + th, 0, 0, 0)),
             pl.BlockSpec((16, C, K), lambda ib, ir: (0, 0, 0)),
             pl.BlockSpec((1, K), lambda ib, ir: (0, 0)),
-            pl.BlockSpec((nb, 2 * C), lambda ib, ir: (ib, 0)),
-            pl.BlockSpec((nb, 2 * C), lambda ib, ir: (ib, 0)),
+            pl.BlockSpec((nb, 1, 2 * C), lambda ib, ir: (ib, 0, 0)),
+            pl.BlockSpec((nb, 1, 2 * C), lambda ib, ir: (ib, 0, 0)),
             pl.BlockSpec((PW, 2 * C), lambda ib, ir: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((nb, 2 * th, Wh, 2 * K),
-                               lambda ib, ir: (ib, ir, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((NB, 2 * Hh, Wh, 2 * K), x.dtype),
+        out_specs=pl.BlockSpec((nb, th, 2, Wh, 2 * K),
+                               lambda ib, ir: (ib, ir, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((NB, Hh, 2, Wh, 2 * K), x.dtype),
         interpret=interpret,
     )(xv, xv, u, bias, a2, c2, cmask)
     return out.reshape(NB, 2 * Hh, 2 * Wh, K)

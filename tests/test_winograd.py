@@ -166,3 +166,29 @@ def test_resblock_winograd_gn_matches_xla():
     out_x = np.asarray(rb_x.apply(v, x))
     out_w = np.asarray(rb_w.apply(v, x))
     np.testing.assert_allclose(out_w, out_x, rtol=3e-4, atol=3e-4)
+
+
+def test_tpu_cross_lowering_serving_shapes():
+    """jax.export cross-platform lowering runs the Pallas->Mosaic lowering
+    rules without a TPU attached — catches kernel constructs Mosaic rejects
+    (e.g. stride-2 slices on >2D operands lower as unsupported gathers;
+    found this way) before burning a TPU sweep on them."""
+    w = jnp.zeros((3, 3, 256, 256), jnp.float32)
+    b = jnp.zeros((256,), jnp.float32)
+    shapes = [((18, 256, 256, 256), "SAME"),
+              ((18, 64, 64, 256), "SAME"),
+              ((4608, 18, 18, 256), "VALID"),
+              ((4608, 20, 20, 256), "VALID")]
+    for shape, padding in shapes:
+        x = jnp.zeros(shape, jnp.bfloat16)
+        jax.export.export(
+            jax.jit(lambda x_, w_, b_: W._winograd_fwd_impl(
+                x_, w_, b_, padding, interpret=False)),
+            platforms=["tpu"])(x, w, b)
+    x = jnp.zeros((18, 256, 256, 256), jnp.bfloat16)
+    a = jnp.zeros((18, 256), jnp.float32)
+    c = jnp.zeros((18, 256), jnp.float32)
+    jax.export.export(
+        jax.jit(lambda x_, w_, b_, a_, c_: W._winograd_gn_fwd_impl(
+            x_, w_, b_, a_, c_, "SAME", interpret=False)),
+        platforms=["tpu"])(x, w, b, a, c)
