@@ -192,3 +192,36 @@ def test_tpu_cross_lowering_serving_shapes():
         jax.jit(lambda x_, w_, b_, a_, c_: W._winograd_gn_fwd_impl(
             x_, w_, b_, a_, c_, "SAME", interpret=False)),
         platforms=["tpu"])(x, w, b, a, c)
+
+
+def test_upsampler_winograd_gn_matches_xla():
+    """conv_impl='winograd_gn' through the full TriplaneUpsampler (dense
+    levels fused, sparse final level on plain winograd convs)."""
+    from audio_motion_avatar_tpu.models.upsampler import TriplaneUpsampler
+    from audio_motion_avatar_tpu.ops import triplane as T
+
+    C, R, nb = 128, 8, 2
+    rng = np.random.RandomState(1)
+    planes = jnp.asarray(rng.randn(1, 3, C, R, R).astype(np.float32))
+    xla_up = TriplaneUpsampler(C, nb, channels_last=True)
+    gn_up = TriplaneUpsampler(C, nb, channels_last=True,
+                              conv_impl="winograd_gn")
+    v = xla_up.init(jax.random.PRNGKey(0), planes)
+    v2 = gn_up.init(jax.random.PRNGKey(0), planes)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v2)
+    out_x = np.asarray(xla_up.apply(v, planes))
+    out_g = np.asarray(gn_up.apply(v, planes))
+    np.testing.assert_allclose(out_g, out_x, rtol=3e-4, atol=3e-4)
+
+    pts = jnp.asarray((rng.rand(1, 64, 3) * 2 - 1).astype(np.float32)) * 1.3
+    u = jnp.clip(pts / 1.4, -1, 1)
+    uv = jnp.stack([jnp.stack([u[..., a0], u[..., a1]], -1)
+                    for a0, a1 in T.PLANE_AXES], axis=1)
+    sp_x = TriplaneUpsampler(C, nb, sparse_final=True).apply(
+        v, planes, points_uv=uv)
+    sp_g = TriplaneUpsampler(C, nb, sparse_final=True,
+                             conv_impl="winograd_gn").apply(
+        v, planes, points_uv=uv)
+    feats_x = np.asarray(T.sample_triplane_sparse(sp_x, pts, 1.4))
+    feats_g = np.asarray(T.sample_triplane_sparse(sp_g, pts, 1.4))
+    np.testing.assert_allclose(feats_g, feats_x, rtol=3e-4, atol=3e-4)
