@@ -10,15 +10,16 @@ Design (v5e):
     Y = A^T [ (G w G^T) . (B^T d B) ] A per tile; batching the elementwise
     product over tiles turns it into 16 (tiles, C) @ (C, K) MXU matmuls —
     4/9 of the direct conv MACs.
-  * Layout: the W-dim phase pair is folded into lanes — x is viewed as
-    (NB, H2, PW, 2C) (a FREE reshape of the NHWC array: W2 = 2*PW is
-    contiguous with C). Lane slices at multiples of C select the W phase;
-    the H phase stays a stride-2 slice on a non-tiled dim (free address
-    arithmetic in Mosaic). No relayout pass in HBM on either side.
-  * The +2 halo rows between row-strips are fed by passing the SAME input
-    twice with different BlockSpecs (a (2*th)-row main block and a 2-row
-    tail block at offset (r+1)*2*th) — overlapping blocks without manual
-    DMA.
+  * Layout: both phase pairs are peeled by FREE reshapes of the NHWC
+    array — x is viewed as (NB, PH, 2, PW, 2C): the W phase rides the
+    lane dim (slices at multiples of C), the H phase is its own unit dim.
+    Every in-kernel tap and store is a static unit-stride slice (Mosaic
+    rejects strided slices on >2D operands — they lower as gathers). No
+    relayout pass in HBM on either side.
+  * The +1 halo pair-row between row-strips is fed by passing the SAME
+    input twice with different BlockSpecs (a th-pair-row main block and a
+    1-pair-row tail block at offset (r+1)*th) — overlapping blocks
+    without manual DMA.
   * Transforms run in the input dtype (bf16 on the serving path — the same
     rounding class as the direct bf16 conv); the 16 matmuls accumulate in
     fp32 (preferred_element_type), as does the A^T M A output transform.
