@@ -390,11 +390,12 @@ def _pack_sorted_params(proj: splat.Projected, width: int, height: int,
     win = (K + 2 * 128 - 1) // 128 * 128
     params_sorted = jnp.pad(params_sorted, ((0, 16 - 9), (0, win)))
 
-    tids = jnp.arange(n_tiles, dtype=jnp.int32)
-    starts = jnp.searchsorted(keys_sorted, tids,
+    # ONE searchsorted over tids 0..T: ends(t) == starts(t+1) on an
+    # ascending key array (side='right' at t == side='left' at t+1)
+    tids = jnp.arange(n_tiles + 1, dtype=jnp.int32)
+    bounds = jnp.searchsorted(keys_sorted, tids,
                               side="left").astype(jnp.int32)
-    ends = jnp.searchsorted(keys_sorted, tids,
-                            side="right").astype(jnp.int32)
+    starts, ends = bounds[:-1], bounds[1:]
     counts = jnp.minimum(ends - starts, K).astype(jnp.int32)
     starts = jnp.minimum(starts, NP)
     return params_sorted, starts, counts
