@@ -347,17 +347,20 @@ def bin_gaussians_sorted(proj: Projected, width: int, height: int,
         sidx = jnp.argsort(key)
         keys_sorted = key[sidx]
         vals_sorted = (sidx // W2).astype(jnp.int32)  # gaussian rank
-        starts = jnp.searchsorted(keys_sorted, tids << rank_bits, side="left")
-        ends = jnp.searchsorted(keys_sorted, (tids + 1) << rank_bits,
-                                side="left")
+        # one searchsorted over 0..T: ends(t) == starts(t+1)
+        tids1 = jnp.arange(n_tiles + 1, dtype=jnp.int32)
+        bounds = jnp.searchsorted(keys_sorted, tids1 << rank_bits,
+                                  side="left")
+        starts, ends = bounds[:-1], bounds[1:]
     else:
         tile_flat = jnp.where(valid, tile_id, n_tiles).reshape(-1)
         rank_flat = jnp.broadcast_to(rank[:, None, None],
                                      valid.shape).reshape(-1)
         tiles_sorted, vals_sorted = jax.lax.sort((tile_flat, rank_flat),
                                                  num_keys=2)
-        starts = jnp.searchsorted(tiles_sorted, tids, side="left")
-        ends = jnp.searchsorted(tiles_sorted, tids + 1, side="left")
+        tids1 = jnp.arange(n_tiles + 1, dtype=jnp.int32)
+        bounds = jnp.searchsorted(tiles_sorted, tids1, side="left")
+        starts, ends = bounds[:-1], bounds[1:]
     counts = jnp.minimum(ends - starts, K)
 
     gidx = starts[:, None] + jnp.arange(K, dtype=jnp.int32)[None, :]
