@@ -22,7 +22,10 @@ class DatasetFactory:
                 ref_frames=int(ds_cfg.get("ref_frames", 2)),
                 target_frames=int(ds_cfg.get("target_frames", 6)),
                 image_size=tuple(ds_cfg.image_size),
-                with_audio=cfg.get("dataset_type") == "ted_driven",
+                # the synthetic stand-in serves BOTH stages; stage-2
+                # entries (main2 train/test) require audio features on
+                # every batch, stage 1 simply ignores them
+                with_audio=True,
                 audio_dim=int(ds_cfg.get("audio_feature_dim", 768)),
                 seed=0 if split == "train" else 10_000,
             )
