@@ -12,11 +12,31 @@ def build_avatar_config(cfg: Config) -> AvatarConfig:
     if cfg.get("profile") == "tiny":
         import dataclasses
         base = AvatarConfig.tiny(image_size=tuple(cfg.dataset.image_size))
-        return dataclasses.replace(
+        base = dataclasses.replace(
             base,
             audio_feature_dim=int(cfg.dataset.get("audio_feature_dim", 768)),
             num_expression_coeffs=int(cfg.dataset.get("num_expression_coeffs", 10)),
             flat_hand_mean=bool(cfg.dataset.get("flat_hand_mean", False)))
+        # Explicit YAML/CLI SERVING knobs still apply on the tiny profile
+        # (they were silently ignored before; found by the serving-profile
+        # override test). Scale fields (resolutions, dims, block counts)
+        # deliberately stay pinned by the profile.
+        knobs = ("upsampler_sparse", "upsampler_sparse_max_tiles",
+                 "upsampler_sparse_tile_px", "upsampler_sparse_penultimate",
+                 "upsampler_sparse_pen_max_tiles", "upsampler_upconv",
+                 "upsampler_conv", "sample_slab", "sample_quad",
+                 "splat_segmented", "splat_max_window", "splat_large_cap",
+                 "frames_per_chunk", "frames_scan_remat",
+                 "frames_scan_unroll", "rgb", "sh_degree",
+                 "no_point_refiner")
+        rd = (cfg.get("model") or {}).get("renderer", {})
+        over = {k: rd[k] for k in knobs if k in rd}
+        an = (cfg.get("model") or {}).get("triplane_audio_net", {})
+        if "transformer_remat" in an:
+            over["audio_transformer_remat"] = an["transformer_remat"]
+        if "attn_impl" in an:
+            over["audio_attn_impl"] = an["attn_impl"]
+        return dataclasses.replace(base, **over) if over else base
 
     m = cfg.model
     tn = m.triplane_net

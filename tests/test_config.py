@@ -77,3 +77,30 @@ def test_tiny_profile():
     ac = build_avatar_config(cfg)
     assert ac.triplane_resolution == 8
     assert cfg.training.fast_dev_run is True
+
+
+@pytest.mark.quick
+def test_apply_serving_profile_respects_yaml_overrides():
+    """SERVING_PROFILE fills inference knobs, but any knob the YAML names
+    explicitly must win (configs/build.py:apply_serving_profile)."""
+    from audio_motion_avatar_tpu.configs import ConfigLoader
+    from audio_motion_avatar_tpu.configs.build import (SERVING_PROFILE,
+                                                       apply_serving_profile,
+                                                       build_avatar_config)
+    import os
+    cfg_path = os.path.join(os.path.dirname(__file__), "..",
+                            "audio_motion_avatar_tpu", "configs",
+                            "config_tiny.yaml")
+    cfg = ConfigLoader.load_config(
+        cfg_path, ["model.renderer.upsampler_sparse_max_tiles=99"])
+    ac = build_avatar_config(cfg)
+    out = apply_serving_profile(ac, cfg)
+    # profile-applied knobs
+    assert out.upsampler_sparse is True
+    assert out.sample_quad is True
+    assert out.splat_segmented is True
+    assert out.frames_scan_remat is False
+    # YAML-named knob wins over the profile's 256
+    assert out.upsampler_sparse_max_tiles == 99
+    # training-side config untouched
+    assert ac.upsampler_sparse is False or ac.upsampler_sparse == out.upsampler_sparse
