@@ -17,6 +17,7 @@ import os
 from typing import Any, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import orbax.checkpoint as ocp
 
@@ -108,6 +109,12 @@ class CheckpointManager:
             "opt_state": state.opt_state,
             "step": np.asarray(state.step),
         }
+        # Normalize leaves to shape/dtype templates: live states can carry
+        # jax literal leaves (e.g. constant-folded zero-init biases) that
+        # orbax's StandardRestore input check rejects (TypedNdArray).
+        template = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
+            template)
         restored = self._mgr.restore(step,
                                      args=ocp.args.StandardRestore(template))
         params = merge_frozen(restored["params"], frozen)
