@@ -126,12 +126,24 @@ def main(argv=None):
                       param_specs=param_specs)
 
     if args.checkpoint:
-        from .training.checkpoints import CheckpointManager
-        mgr = CheckpointManager(args.checkpoint) if os.path.isdir(args.checkpoint) \
-            else None
-        if mgr is not None:
-            state, ok = mgr.restore(state)
+        if os.path.isdir(args.checkpoint):
+            from .training.checkpoints import CheckpointManager
+            state, ok = CheckpointManager(args.checkpoint).restore(state)
             print(f"[main] checkpoint restore: {'ok' if ok else 'none found'}")
+        else:
+            # a FILE is a reference torch/Lightning .ckpt (main.py:99-107):
+            # non-strict import of every structurally-identical module
+            from .training.torch_import import (import_reference_checkpoint,
+                                                merge_into)
+            partial, report = import_reference_checkpoint(args.checkpoint,
+                                                          ac, stage=1)
+            merged, mismatches = merge_into(state.params, partial)
+            state = state.replace(params=merged)
+            print(f"[main] torch import: {report['loaded']} tensors from "
+                  f"{report['total_torch_modules']} torch modules; "
+                  f"skipped={sorted(report['skipped_modules'])[:8]}"
+                  f"{'...' if len(report['skipped_modules']) > 8 else ''}; "
+                  f"mismatches={mismatches[:8]}")
 
     if args.mode == "train":
         trainer.fit(state, train_data, val_data, resume=args.resume)

@@ -315,6 +315,21 @@ def main(argv=None):
         from .training.checkpoints import CheckpointManager
         state, ok = CheckpointManager(args.checkpoint).restore(state)
         print(f"[main2] checkpoint restore: {'ok' if ok else 'none found'}")
+    elif args.checkpoint:
+        # a FILE is the released full reference .ckpt (triplane_gaussian.*
+        # + audio_triplane.*, reference main2.py:127-138): non-strict
+        # torch import of every structurally-identical module
+        from .training.torch_import import (import_reference_checkpoint,
+                                            merge_into)
+        partial, report = import_reference_checkpoint(args.checkpoint, ac,
+                                                      stage=2)
+        merged, mismatches = merge_into(state.params, partial)
+        state = state.replace(params=merged)
+        print(f"[main2] torch import: {report['loaded']} tensors from "
+              f"{report['total_torch_modules']} torch modules; "
+              f"skipped={sorted(report['skipped_modules'])[:8]}"
+              f"{'...' if len(report['skipped_modules']) > 8 else ''}; "
+              f"mismatches={mismatches[:8]}")
 
     if args.mode == "train":
         from .data.factory import DatasetFactory
