@@ -6,8 +6,11 @@ trim to video duration, run the encoder per clip-length window, mean-pool
 hidden states to ONE 768-d vector per video frame.
 
 Two backends behind one function:
-  * FlaxWav2Vec2Model (HF, XLA-compiled — the north-star "audio features on
-    TPU" path) when a local pretrained path is configured;
+  * the in-repo pure-flax Wav2Vec2 (models/wav2vec2.py, XLA-compiled — the
+    north-star "audio features on TPU" path) fed by a torch->flax weight
+    conversion when a local facebook/wav2vec2-base-960h checkout is
+    configured (HF's own FlaxWav2Vec2Model refuses the base-960h
+    do_stable_layer_norm=False architecture);
   * a lightweight conv feature encoder with the same interface otherwise
     (zero-egress image: HF hub downloads are unavailable).
 """
@@ -54,8 +57,11 @@ class AudioFeatureExtractor:
         self.dim = dim
         self._hf = None
         if model_path and os.path.exists(str(model_path)):
-            from transformers import FlaxWav2Vec2Model
-            self._hf = FlaxWav2Vec2Model.from_pretrained(model_path)
+            from .wav2vec2 import load_torch_wav2vec2, zero_mean_unit_var
+            module, variables, do_normalize = load_torch_wav2vec2(
+                str(model_path))
+            self._hf = jax.jit(partial(module.apply, variables))
+            self._normalize = zero_mean_unit_var if do_normalize else None
         else:
             import warnings
             warnings.warn(
@@ -72,12 +78,17 @@ class AudioFeatureExtractor:
             self._apply = jax.jit(self._enc.apply)
 
     def encode_window(self, wav: np.ndarray) -> np.ndarray:
-        """wav: (T_samples,) float32 at 16 kHz -> (T_enc, dim) hidden states."""
-        w = jnp.asarray(wav, jnp.float32)[None]
+        """wav: (T_samples,) float32 at 16 kHz -> (T_enc, dim) hidden states.
+
+        With real weights this matches the reference's processor+model pass
+        (dataset_speech_vid.py:84-89): per-window zero-mean/unit-var
+        normalization, then last_hidden_state."""
         if self._hf is not None:
-            out = self._hf(w).last_hidden_state
+            if self._normalize is not None:
+                wav = self._normalize(wav)
+            out = self._hf(jnp.asarray(wav, jnp.float32)[None])
         else:
-            out = self._apply(self._vars, w)
+            out = self._apply(self._vars, jnp.asarray(wav, jnp.float32)[None])
         return np.asarray(out[0])
 
     def features_per_video_frame(self, wav: np.ndarray, num_frames: int,
@@ -85,7 +96,13 @@ class AudioFeatureExtractor:
                                  clip_length: int = 8) -> np.ndarray:
         """Full pipeline (dataset_speech_vid.py:37-116): trim/pad the wave to
         the video duration, encode in clip windows, mean-pool encoder states
-        within each video frame's span -> (num_frames, dim)."""
+        within each video frame's span -> (num_frames, dim).
+
+        Pooling follows the reference's floor semantics (:93-105):
+        steps_per_frame = max(1, T_enc // frames_in_clip); frame i pools
+        [i*spf, (i+1)*spf) clamped to T_enc (single step if the span is
+        empty); a short tail is padded by repeating the last feature
+        (:108-115)."""
         need = int(round(num_frames / frame_rate * SAMPLE_RATE))
         wav = np.asarray(wav, np.float32)
         if wav.shape[0] < need:
@@ -103,11 +120,13 @@ class AudioFeatureExtractor:
                 clip = np.pad(clip, (0, samples_per_clip - clip.shape[0]))
             hidden = self.encode_window(clip)  # (T_enc, dim)
             T_enc = hidden.shape[0]
-            # mean-pool encoder steps per video frame
+            spf = max(1, T_enc // nf)
             for f in range(nf):
-                a = int(np.floor(f / frames_per_clip * T_enc))
-                b = max(a + 1, int(np.floor((f + 1) / frames_per_clip * T_enc)))
-                feats.append(hidden[a:b].mean(axis=0))
+                a = min(f * spf, T_enc - 1)
+                b = min((f + 1) * spf, T_enc)
+                feats.append(hidden[a:b].mean(axis=0) if a < b else hidden[a])
+        if len(feats) < num_frames:
+            feats.extend([feats[-1]] * (num_frames - len(feats)))
         return np.stack(feats[:num_frames], axis=0)
 
 
