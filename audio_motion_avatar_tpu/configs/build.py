@@ -24,7 +24,7 @@ def build_avatar_config(cfg: Config) -> AvatarConfig:
         knobs = ("upsampler_sparse", "upsampler_sparse_max_tiles",
                  "upsampler_sparse_tile_px", "upsampler_sparse_penultimate",
                  "upsampler_sparse_pen_max_tiles", "upsampler_upconv",
-                 "upsampler_conv", "sample_slab", "sample_quad",
+                 "upsampler_conv", "upsampler_norm", "sample_slab", "sample_quad",
                  "splat_segmented", "splat_max_window", "splat_large_cap",
                  "frames_per_chunk", "frames_scan_remat",
                  "frames_scan_unroll", "rgb", "sh_degree",
@@ -77,6 +77,7 @@ def build_avatar_config(cfg: Config) -> AvatarConfig:
                                               128),
         upsampler_upconv=rd.get("upsampler_upconv", "poly"),
         upsampler_conv=rd.get("upsampler_conv", "xla"),
+        upsampler_norm=rd.get("upsampler_norm", "group"),
         sample_slab=rd.get("sample_slab", False),
         sample_quad=rd.get("sample_quad", False),
         splat_segmented=rd.get("splat_segmented", False),
@@ -158,3 +159,22 @@ def build_optim_config(cfg: Config) -> OptimConfig:
         grad_clip=float(t.get("gradient_clip_val", 1.0)),
         accumulate_steps=int(t.get("gradient_accumulate_steps", 1)),
     )
+
+
+def default_affine_norm_for_import(cfg, checkpoint_path):
+    """Imported reference .ckpt FILES fold BatchNorm running stats into the
+    upsampler's affine norm slots (training/torch_import._bn_affine);
+    running those params under GroupNorm would renormalize and silently
+    discard the fold. Default model.renderer.upsampler_norm='affine' when a
+    torch file is being imported, unless the YAML/CLI set the knob
+    explicitly."""
+    import os
+    if not checkpoint_path or os.path.isdir(str(checkpoint_path)):
+        return cfg
+    model = cfg.setdefault("model", type(cfg)())
+    rd = model.setdefault("renderer", type(cfg)())
+    if "upsampler_norm" not in rd:
+        rd["upsampler_norm"] = "affine"
+        print("[config] torch .ckpt import: defaulting "
+              "model.renderer.upsampler_norm='affine' (folded BatchNorm)")
+    return cfg

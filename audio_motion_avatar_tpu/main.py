@@ -105,6 +105,9 @@ def main(argv=None):
     apply_platform_env()
     maybe_initialize(cfg)
 
+    from .configs.build import default_affine_norm_for_import
+    cfg = default_affine_norm_for_import(cfg, args.checkpoint)
+
     seed = int(cfg.get("seed", 42))
     np.random.seed(seed)
     setup_output_dirs(cfg)

@@ -293,6 +293,9 @@ def main(argv=None):
     apply_platform_env()
     maybe_initialize(cfg)
 
+    from .configs.build import default_affine_norm_for_import
+    cfg = default_affine_norm_for_import(cfg, args.checkpoint)
+
     np.random.seed(int(cfg.get("seed", 42)))
     os.makedirs(cfg.training.output_dir, exist_ok=True)
 

@@ -60,6 +60,7 @@ class AvatarConfig:
     upsampler_sparse_pen_max_tiles: int = 128
     upsampler_upconv: str = "poly"  # 'poly' | 'dilated' exact upconv twins
     upsampler_conv: str = "xla"     # 'xla' | 'winograd' ResBlock 3x3 convs
+    upsampler_norm: str = "group"   # 'group' | 'affine' (imported inference BN)
     sample_slab: bool = False       # sparse sampling via 2x2 slab gathers
     # sparse sampling via ONE quad-row gather per point/plane (descriptor-
     # bound take: a 4C row costs the same as a C row — gather_probe A1/A6)

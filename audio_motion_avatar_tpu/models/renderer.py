@@ -120,6 +120,10 @@ class Renderer(nn.Module):
     # F(2x2,3x3), 4/9 the MACs — ops/winograd.py; bf16-rounding-class
     # numerics, same param tree)
     upsampler_conv: str = "xla"
+    # 'group' (training default) | 'affine' — per-channel scale/bias, the
+    # exact inference form of the reference's BatchNorm2d after the torch
+    # importer folds running stats (training/torch_import.map_upsampler)
+    upsampler_norm: str = "group"
     # Sparse sampling via one (2,2C) slab gather per point/plane (halves
     # gathered rows vs the 4-tap form; see ops.triplane.tile_halo).
     sample_slab: bool = False
@@ -142,6 +146,7 @@ class Renderer(nn.Module):
                 sparse_tile_px=self.upsampler_sparse_tile_px,
                 upconv=self.upsampler_upconv,
                 conv_impl=self.upsampler_conv,
+                norm_mode=self.upsampler_norm,
                 name="upsampler")
         if self.point_refiner is not None:
             self.refine_mlp = nn.Sequential([

@@ -317,6 +317,11 @@ class ResBlock(nn.Module):
     dtype: Optional[jnp.dtype] = None
     groups: int = 32
     conv_impl: str = "xla"   # 'xla' | 'winograd' | 'winograd_gn'
+    # 'group': GroupNorm (training — stat-free, SPMD-clean).
+    # 'affine': per-channel scale/bias only — the EXACT inference form of
+    # the reference's BatchNorm2d (renderer.py:348-366) once running stats
+    # are folded in by the torch importer. Same param tree as 'group'.
+    norm_mode: str = "group"
 
     def _conv3x3(self, name: str, padding):
         if self.conv_impl in ("winograd", "winograd_gn"):
@@ -347,7 +352,14 @@ class ResBlock(nn.Module):
         if sparse_ctx is not None:
             return self._sparse(x, sparse_ctx)
         in_ch = x.shape[-1]
-        if (self.conv_impl == "winograd_gn"
+        if self.norm_mode == "affine":
+            s1, b1 = _NormParams(in_ch, name="norm1")()
+            h = nn.relu(x * s1 + b1)
+            h = self._conv3x3("conv1", 1)(h)
+            s2, b2 = _NormParams(self.out_channels, name="norm2")()
+            h = nn.relu(h * s2 + b2)
+            h = self._conv3x3("conv2", 1)(h)
+        elif (self.conv_impl == "winograd_gn"
                 and winograd.supports_winograd(x.shape, in_ch,
                                                self.out_channels, "SAME")
                 and in_ch % 128 == 0):
@@ -382,17 +394,25 @@ class ResBlock(nn.Module):
             return t.reshape((F, cap) + t.shape[1:])
 
         T = u.shape[2] - 4  # tile px; windows are T+4 (u) and T+2 (conv1)
-        # GN1 over tile interiors ([2:T+2] of the u-window = the tile body)
-        m1, v1 = _masked_group_stats(u[:, :, 2:T + 2, 2:T + 2], ctx.valid,
-                                     self.groups)
-        h = nn.relu(_apply_group_norm(u, m1, v1, s1, b1, self.groups))
+        if self.norm_mode == "affine":
+            # position-independent, so sparse == dense EXACTLY (no
+            # covered-tile statistics deviation)
+            h = nn.relu(u * s1 + b1)
+        else:
+            # GN1 over tile interiors ([2:T+2] of the u-window = the body)
+            m1, v1 = _masked_group_stats(u[:, :, 2:T + 2, 2:T + 2],
+                                         ctx.valid, self.groups)
+            h = nn.relu(_apply_group_norm(u, m1, v1, s1, b1, self.groups))
         # out-of-plane u positions must contribute 0 to conv1 (the dense
         # path's SAME padding semantics at the plane border)
         h = _mask2d(h, ctx.u_rows, ctx.u_cols)
         h = per_frame(conv("conv1")(as_batch(h)))              # (F,cap,18,18,C)
-        m2, v2 = _masked_group_stats(h[:, :, 1:T + 1, 1:T + 1], ctx.valid,
-                                     self.groups)
-        h = nn.relu(_apply_group_norm(h, m2, v2, s2, b2, self.groups))
+        if self.norm_mode == "affine":
+            h = nn.relu(h * s2 + b2)
+        else:
+            m2, v2 = _masked_group_stats(h[:, :, 1:T + 1, 1:T + 1],
+                                         ctx.valid, self.groups)
+            h = nn.relu(_apply_group_norm(h, m2, v2, s2, b2, self.groups))
         h = _mask2d(h, ctx.c1_rows, ctx.c1_cols)
         h = per_frame(conv("conv2")(as_batch(h)))              # (F,cap,T,T,C)
         return u[:, :, 2:T + 2, 2:T + 2] + h
@@ -403,6 +423,7 @@ class UpsampleBlock(nn.Module):
     dtype: Optional[jnp.dtype] = None
     upconv: str = "poly"   # 'poly' | 'dilated' (identical math, see impls)
     conv_impl: str = "xla"  # ResBlock 3x3 convs: 'xla' | 'winograd'
+    norm_mode: str = "group"  # see ResBlock.norm_mode
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
@@ -427,7 +448,8 @@ class UpsampleBlock(nn.Module):
             h = upconv(x, w, b, dtype=self.dtype)
             h = nn.relu(h)
             return ResBlock(self.out_channels, name="res", dtype=self.dtype,
-                            conv_impl=self.conv_impl)(h)
+                            conv_impl=self.conv_impl,
+                            norm_mode=self.norm_mode)(h)
 
         F, cap, Pin = x.shape[:3]
         T = (Pin - 4) * 2  # tile px at the output res
@@ -440,7 +462,8 @@ class UpsampleBlock(nn.Module):
         # conv SAME padding would see zeros there)
         h = _mask2d(h, sparse_ctx.u_rows, sparse_ctx.u_cols)
         return ResBlock(self.out_channels, name="res", dtype=self.dtype,
-                        conv_impl=self.conv_impl)(h, sparse_ctx)
+                        conv_impl=self.conv_impl,
+                        norm_mode=self.norm_mode)(h, sparse_ctx)
 
 
 class TriplaneUpsampler(nn.Module):
@@ -476,6 +499,7 @@ class TriplaneUpsampler(nn.Module):
     sparse_pen_max_tiles: int = 128
     upconv: str = "poly"   # 'poly' | 'dilated'
     conv_impl: str = "xla"  # ResBlock 3x3 convs: 'xla' | 'winograd'
+    norm_mode: str = "group"  # 'group' | 'affine' (imported inference BN)
 
     @nn.compact
     def __call__(self, planes: jnp.ndarray,
@@ -502,7 +526,8 @@ class TriplaneUpsampler(nn.Module):
         for i in range(n_dense):
             up = UpsampleBlock(self.feature_dim, name=f"up_{i}",
                                dtype=self.dtype, upconv=self.upconv,
-                               conv_impl=self.conv_impl)(x)
+                               conv_impl=self.conv_impl,
+                               norm_mode=self.norm_mode)(x)
             if i == 0:
                 skip = nn.Conv(self.feature_dim, (1, 1), name="skip_proj",
                                dtype=self.dtype)(skip)
@@ -555,7 +580,8 @@ class TriplaneUpsampler(nn.Module):
                         c1_cols=axis_mask(c0, tile_px + 2, 1))
         tiles = UpsampleBlock(self.feature_dim, name=f"up_{level}",
                               dtype=self.dtype, upconv=self.upconv,
-                              conv_impl=self.conv_impl)(patches, ctx)
+                              conv_impl=self.conv_impl,
+                              norm_mode=self.norm_mode)(patches, ctx)
         return tiles, tile_ids, valid, slot, sorted_ids, grid, tile_px, res
 
     def _sparse_scatter_level(self, x: jnp.ndarray, skip: jnp.ndarray,

@@ -130,6 +130,71 @@ def map_gaussian_heads(sd: dict, prefix: str, loaded: list) -> dict:
     return out
 
 
+def _conv2d(sd: dict, prefix: str, loaded: list):
+    """torch Conv2d (Co, C, kh, kw) -> flax Conv {kernel (kh, kw, C, Co)}."""
+    w = sd.get(prefix + ".weight")
+    if w is None:
+        return None
+    out = {"kernel": np.asarray(w).transpose(2, 3, 1, 0)}
+    b = sd.get(prefix + ".bias")
+    if b is not None:
+        out["bias"] = np.asarray(b)
+    loaded.append(prefix)
+    return out
+
+
+def _bn_affine(sd: dict, prefix: str, loaded: list, eps: float = 1e-5):
+    """Fold eval-mode BatchNorm2d into the upsampler's 'affine' norm slots:
+    y = x * w/sqrt(rv+eps) + (b - rm * w/sqrt(rv+eps)) — exact inference
+    BN. Run the imported model with renderer.upsampler_norm='affine'."""
+    w = sd.get(prefix + ".weight")
+    if w is None:
+        return None
+    inv = np.asarray(w) / np.sqrt(np.asarray(sd[prefix + ".running_var"]) + eps)
+    loaded.append(prefix)
+    return {"scale": inv,
+            "bias": np.asarray(sd[prefix + ".bias"])
+            - np.asarray(sd[prefix + ".running_mean"]) * inv}
+
+
+def map_upsampler(sd: dict, prefix: str, num_blocks: int, loaded: list) -> dict:
+    """Reference TriplaneUpsampler (renderer.py:348-417) -> models/upsampler.
+
+    torch layout per block i: upsample_blocks.{i}.upsample = Sequential(
+    Upsample, Conv2d, ReLU, ResBlock) with ResBlock.block = Sequential(BN,
+    ReLU, Conv2d, BN, ReLU, Conv2d); skip_connections.0.0 is the one 1x1
+    projection (blocks >0 are Identity+Upsample, parameter-free).
+    BatchNorms fold to per-channel affines (_bn_affine)."""
+    out: dict = {}
+    for i in range(num_blocks):
+        bp = f"{prefix}.upsample_blocks.{i}.upsample"
+        blk: dict = {}
+        c = _conv2d(sd, f"{bp}.1", loaded)
+        if c:
+            blk["conv_kernel"] = c["kernel"]
+            blk["conv_bias"] = c["bias"]
+        res: dict = {}
+        for src, dst in [(f"{bp}.3.block.0", "norm1"),
+                         (f"{bp}.3.block.3", "norm2")]:
+            n = _bn_affine(sd, src, loaded)
+            if n:
+                res[dst] = n
+        for src, dst in [(f"{bp}.3.block.2", "conv1"),
+                         (f"{bp}.3.block.5", "conv2"),
+                         (f"{bp}.3.skip", "skip")]:
+            c = _conv2d(sd, src, loaded)
+            if c:
+                res[dst] = c
+        if res:
+            blk["res"] = res
+        if blk:
+            out[f"up_{i}"] = blk
+    sp = _conv2d(sd, f"{prefix}.skip_connections.0.0", loaded)
+    if sp:
+        out["skip_proj"] = sp
+    return out
+
+
 def map_resnet_fc(sd: dict, prefix: str, loaded: list) -> dict:
     out = {}
     for src, dst in [("fc_0", "fc_0"), ("fc_1", "fc_1"), ("shortcut", "shortcut")]:
@@ -273,10 +338,21 @@ def import_reference_checkpoint(path: str, cfg, stage: int = 1) -> Tuple[dict, d
     if fus:
         params["fusion_network"] = fus
 
-    # renderer heads
-    heads = map_gaussian_heads(sd, f"{P}.renderer", loaded)
-    if heads:
-        params["renderer"] = heads
+    # renderer heads + upsampler (BN folded) + point-refiner MLP
+    rend = map_gaussian_heads(sd, f"{P}.renderer", loaded)
+    ups = map_upsampler(sd, f"{P}.renderer.triplane_upsampler",
+                        cfg.num_upsample_blocks, loaded)
+    if ups:
+        rend["upsampler"] = ups
+    refine: dict = {}
+    for i in (0, 2, 4):
+        m = _linear(refine, f"{P}.renderer.point_refiner.{i}", sd, loaded)
+        if m:
+            refine[f"layers_{i}"] = m
+    if refine:
+        rend["refine_mlp"] = refine
+    if rend:
+        params["renderer"] = rend
 
     if stage == 2:
         audio = map_audio_triplane(sd, cfg, loaded)
@@ -293,6 +369,11 @@ def import_reference_checkpoint(path: str, cfg, stage: int = 1) -> Tuple[dict, d
         "total_torch_modules": len({k.rsplit('.', 1)[0] for k in sd}),
         "skipped_modules": skipped,
     }
+    if ups:
+        report["notes"] = [
+            "upsampler BatchNorms folded from running stats — run with "
+            "model.renderer.upsampler_norm='affine' for exact inference "
+            "parity"]
     return params, report
 
 
