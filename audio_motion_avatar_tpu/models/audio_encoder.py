@@ -56,6 +56,7 @@ class AudioFeatureExtractor:
                  seed: int = 0):
         self.dim = dim
         self._hf = None
+        self._normalize = None
         if model_path and os.path.exists(str(model_path)):
             from .wav2vec2 import load_torch_wav2vec2, zero_mean_unit_var
             module, variables, do_normalize = load_torch_wav2vec2(

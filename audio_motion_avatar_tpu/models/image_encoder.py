@@ -56,7 +56,7 @@ class ViTBlock(nn.Module):
         x = x + h
         h = nn.LayerNorm(name="ln2")(x)
         h = nn.Dense(self.width * 4, name="mlp1", dtype=self.dtype)(h)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)  # torch nn.GELU is exact erf
         h = nn.Dense(self.width, name="mlp2", dtype=self.dtype)(h)
         return x + h
 

@@ -292,7 +292,9 @@ class GEGLUFeedForward(nn.Module):
         inner = self.dim * self.mult
         h = _dense(inner * 2, ("embed", "mlp"), name="wi", dtype=self.dtype)(x)
         h, gate = jnp.split(h, 2, axis=-1)
-        h = h * nn.gelu(gate)
+        # exact erf gelu: diffusers GEGLU uses F.gelu (reference
+        # transformers.py:505-527) — torch-import numerics
+        h = h * nn.gelu(gate, approximate=False)
         return _dense(self.dim, ("mlp", "embed"), name="wo", dtype=self.dtype)(h)
 
 

@@ -354,9 +354,12 @@ class ResBlock(nn.Module):
         in_ch = x.shape[-1]
         if self.norm_mode == "affine":
             s1, b1 = _NormParams(in_ch, name="norm1")()
+            s2, b2 = _NormParams(self.out_channels, name="norm2")()
+            if self.dtype is not None:  # keep bf16 activations bf16
+                s1, b1, s2, b2 = (t.astype(self.dtype)
+                                  for t in (s1, b1, s2, b2))
             h = nn.relu(x * s1 + b1)
             h = self._conv3x3("conv1", 1)(h)
-            s2, b2 = _NormParams(self.out_channels, name="norm2")()
             h = nn.relu(h * s2 + b2)
             h = self._conv3x3("conv2", 1)(h)
         elif (self.conv_impl == "winograd_gn"
@@ -397,7 +400,7 @@ class ResBlock(nn.Module):
         if self.norm_mode == "affine":
             # position-independent, so sparse == dense EXACTLY (no
             # covered-tile statistics deviation)
-            h = nn.relu(u * s1 + b1)
+            h = nn.relu(u * s1.astype(u.dtype) + b1.astype(u.dtype))
         else:
             # GN1 over tile interiors ([2:T+2] of the u-window = the body)
             m1, v1 = _masked_group_stats(u[:, :, 2:T + 2, 2:T + 2],
@@ -408,7 +411,7 @@ class ResBlock(nn.Module):
         h = _mask2d(h, ctx.u_rows, ctx.u_cols)
         h = per_frame(conv("conv1")(as_batch(h)))              # (F,cap,18,18,C)
         if self.norm_mode == "affine":
-            h = nn.relu(h * s2 + b2)
+            h = nn.relu(h * s2.astype(h.dtype) + b2.astype(h.dtype))
         else:
             m2, v2 = _masked_group_stats(h[:, :, 1:T + 1, 1:T + 1],
                                          ctx.valid, self.groups)
@@ -658,7 +661,7 @@ class ConvNeXtBlock(nn.Module):
                     name="dwconv")(x)
         h = nn.LayerNorm(epsilon=1e-6, name="norm")(h)
         h = nn.Dense(4 * self.dim, name="pw1")(h)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)  # torch nn.GELU is exact
         h = nn.Dense(self.dim, name="pw2")(h)
         return x + h
 

@@ -38,6 +38,7 @@ QUICK_MODULES = {
     "test_config", "test_losses", "test_mesh_utils", "test_smplx",
     "test_triplane", "test_checkpoints", "test_torch_import",
     "test_utils_graphics", "test_prefetch", "test_audio_encoder",
+    "test_import_upsampler", "test_parity_check",
     "test_sapiens_convert",
 }
 
