@@ -37,9 +37,13 @@ def e2e_serving():
     # exact where covered (GroupNorm stats over covered tiles, see
     # models/upsampler.py)
     from tools.serve_bench import run
+    # upconv='dilated' (nearest2x+conv3x3 as ONE input-dilated conv): the
+    # round-3 TPU sweep winner — 17.27 fps vs 16.19 quad/poly, with Winograd
+    # a measured LOSS on-chip (14.83) despite the 2.25x MAC cut (sweep_p1,
+    # 2026-08-18)
     res = run(batch=2, frames_per_chunk=6, ablate="none", reps=3,
               image_size=(512, 512), sparse=True, sparse_cap=256,
-              sample_quad=True)
+              sample_quad=True, upconv="dilated")
     return {
         "metric": "e2e_audio_to_512px_avatar",
         "value": round(res["fps"], 2),
@@ -110,33 +114,84 @@ def _probe_device(timeout_s: int = 600):
         raise RuntimeError(f"device probe failed: {r.stderr[-300:]}")
 
 
-def main():
+CACHE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".bench_cache.json")
+
+
+def _load_cache(path):
     try:
-        _probe_device()
-    except BaseException as e:  # noqa: BLE001 — relay down/hung: nothing
-        # below can run (any device op would block forever), so emit the
-        # zero metric immediately
-        print(f"[bench] device probe failed ({type(e).__name__}: {e}); "
-              "emitting zero metric", file=sys.stderr)
-        print(json.dumps({"metric": "e2e_audio_to_512px_avatar",
-                          "value": 0.0, "unit": "fps", "vs_baseline": 0.0,
-                          "error": f"{type(e).__name__}: device unavailable"}))
-        return
+        with open(path) as f:
+            out = json.load(f)
+        if isinstance(out, dict) and "metric" in out and "value" in out:
+            return out
+    except (OSError, ValueError):
+        pass
+    return None
+
+
+def _save_cache(out, path):
     try:
-        out = e2e_serving()
-    except Exception as e:  # noqa: BLE001 — emit SOMETHING for the driver
-        print(f"[bench] e2e path failed ({type(e).__name__}: {e}); "
-              "falling back to splat microbench", file=sys.stderr)
+        with open(path, "w") as f:
+            json.dump(out, f)
+    except OSError:
+        pass
+
+
+def run_chain(probe=_probe_device, e2e=None, micro=None,
+              cache_path=CACHE_PATH,
+              probe_timeouts=(600, 300, 300), backoffs=(60, 120),
+              sleep=time.sleep, log=None):
+    """Bench fallback chain (BENCH_r02 postmortem): a relay outage must
+    degrade to (a) probe retries with backoff, then (b) the splat
+    microbench, then (c) the LAST GOOD cached e2e number marked
+    ``"stale": true`` — never a bare 0.0 while a prior measurement exists.
+    Dependency-injected so tests simulate outages without a device."""
+    e2e = e2e or e2e_serving
+    micro = micro or splat_microbench
+    log = log or (lambda msg: print(msg, file=sys.stderr))
+
+    probe_err = None
+    for i, t in enumerate(probe_timeouts):
+        if i:
+            sleep(backoffs[min(i - 1, len(backoffs) - 1)])
         try:
-            out = splat_microbench()
-        except Exception as e2:  # noqa: BLE001 — device/relay down entirely
-            print(f"[bench] splat microbench also failed "
-                  f"({type(e2).__name__}: {e2}); emitting zero metric",
-                  file=sys.stderr)
-            out = {"metric": "e2e_audio_to_512px_avatar", "value": 0.0,
-                   "unit": "fps", "vs_baseline": 0.0,
-                   "error": f"{type(e2).__name__}: device unavailable"}
-    print(json.dumps(out))
+            probe(timeout_s=t)
+            probe_err = None
+            break
+        except BaseException as e:  # noqa: BLE001 — TimeoutExpired et al.
+            probe_err = e
+            log(f"[bench] device probe attempt {i + 1}/{len(probe_timeouts)}"
+                f" failed ({type(e).__name__}: {e})")
+
+    err = None
+    if probe_err is None:
+        try:
+            out = e2e()
+            _save_cache(out, cache_path)
+            return out
+        except Exception as e:  # noqa: BLE001 — emit SOMETHING for the driver
+            err = f"{type(e).__name__}: {e}"
+            log(f"[bench] e2e path failed ({err}); "
+                "falling back to splat microbench")
+        try:
+            return micro()
+        except Exception as e2:  # noqa: BLE001 — device died mid-run
+            err = f"{type(e2).__name__}: {e2}"
+            log(f"[bench] splat microbench also failed ({err})")
+    else:
+        # device unusable: e2e/micro would hang — go straight to the cache
+        err = f"{type(probe_err).__name__}: device unavailable"
+
+    cached = _load_cache(cache_path)
+    if cached is not None:
+        log(f"[bench] emitting last-good cached result (stale) after: {err}")
+        return {**cached, "stale": True, "error": err}
+    return {"metric": "e2e_audio_to_512px_avatar", "value": 0.0,
+            "unit": "fps", "vs_baseline": 0.0, "error": err}
+
+
+def main():
+    print(json.dumps(run_chain()))
 
 
 if __name__ == "__main__":

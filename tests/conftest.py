@@ -39,7 +39,7 @@ QUICK_MODULES = {
     "test_triplane", "test_checkpoints", "test_torch_import",
     "test_utils_graphics", "test_prefetch", "test_audio_encoder",
     "test_import_upsampler", "test_parity_check",
-    "test_sapiens_convert",
+    "test_sapiens_convert", "test_bench_chain",
 }
 
 
