@@ -242,7 +242,7 @@ def _grid_faces(rows: int, cols: int) -> np.ndarray:
 
 def synthetic_model(seed: int = 0, num_verts: int = SMPLX_NUM_VERTS,
                     num_betas: int = 10, num_expr: int = 10,
-                    dtype=np.float32) -> SmplxModel:
+                    dtype=np.float32, num_faces: int = None) -> SmplxModel:
     """Structurally-faithful random SMPLX stand-in (for tests/bench without
     the proprietary asset). Human-ish proportions: verts in a ~[-1,1] tall
     ellipsoid, joints spread along the body, smooth LBS weights.
@@ -278,6 +278,15 @@ def synthetic_model(seed: int = 0, num_verts: int = SMPLX_NUM_VERTS,
     rows = int(np.floor(np.sqrt(num_verts)))
     cols = num_verts // rows
     faces = _grid_faces(rows, cols)
+    if num_faces is not None:
+        # match an exact topology count (e.g. the real SMPLX 20908 for
+        # manifest dry-runs): trim, or pad by repeating early faces
+        # (duplicate face centers are harmless for shape validation)
+        if num_faces <= faces.shape[0]:
+            faces = faces[:num_faces]
+        else:
+            reps = -(-num_faces // faces.shape[0])
+            faces = np.tile(faces, (reps, 1))[:num_faces]
 
     return SmplxModel(
         v_template=jnp.asarray(v),
