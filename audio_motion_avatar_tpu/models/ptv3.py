@@ -216,7 +216,9 @@ class SerialBlock(nn.Module):
 
         h = nn.LayerNorm(name="ln2", dtype=self.dtype)(x)
         h = nn.Dense(self.dim * 4, dtype=self.dtype, name="mlp1")(h)
-        h = nn.gelu(h)
+        # exact erf GELU: torch nn.GELU default (pointtransformer_v3.py:515)
+        # — flax's tanh approximation breaks weight-import parity
+        h = nn.gelu(h, approximate=False)
         h = nn.Dense(self.dim, dtype=self.dtype, name="mlp2")(h)
         return x + h * mask[:, None]
 

@@ -117,6 +117,79 @@ def map_transformer1d(sd: dict, prefix: str, num_layers: int, loaded: list) -> d
     return out
 
 
+def map_ptv3_block(sd: dict, bp: str, heads: int, loaded: list) -> dict:
+    """One reference PTv3 Block (pointtransformer_v3.py:528-615) -> one
+    models/ptv3.SerialBlock: the pre-LN attention + MLP weights are
+    structurally identical (same residual wiring, same per-head math, exact
+    GELU); only the CPE differs (spconv 3^3 submanifold conv vs the
+    serialized depthwise xCPE) and stays unmapped.
+
+    Layouts: torch attn.qkv weight (3C, C) splits into thirds (q/k/v), each
+    reshaped head-major (C_in, H, D) to match _ProjGHPD — torch computes
+    q[h*D+d] from row h*D+d (qkv reshape (..., 3, H, D),
+    pointtransformer_v3.py:452-466). attn.proj (C, C) -> out (H, D, C)."""
+    blk: dict = {}
+    for t_norm, f_norm in [("norm1.0", "ln1"), ("norm2.0", "ln2")]:
+        w = sd.get(f"{bp}.{t_norm}.weight")
+        if w is not None:
+            blk[f_norm] = {"scale": np.asarray(w),
+                           "bias": np.asarray(sd[f"{bp}.{t_norm}.bias"])}
+            loaded.append(f"{bp}.{t_norm}")
+    qkv_w = sd.get(f"{bp}.attn.qkv.weight")
+    if qkv_w is not None:
+        qkv_w = np.asarray(qkv_w)               # (3C, C)
+        C = qkv_w.shape[1]
+        H, D = heads, C // heads
+        qkv_b = sd.get(f"{bp}.attn.qkv.bias")
+        attn: dict = {}
+        for t, name in enumerate(["query", "key", "value"]):
+            part = {"kernel": qkv_w[t * C:(t + 1) * C].T.reshape(C, H, D)}
+            if qkv_b is not None:
+                part["bias"] = np.asarray(qkv_b)[t * C:(t + 1) * C] \
+                    .reshape(H, D)
+            attn[name] = part
+        loaded.append(f"{bp}.attn.qkv")
+        pw = sd.get(f"{bp}.attn.proj.weight")
+        if pw is not None:
+            out = {"kernel": np.asarray(pw).T.reshape(H, D, C)}
+            pb = sd.get(f"{bp}.attn.proj.bias")
+            if pb is not None:
+                out["bias"] = np.asarray(pb)
+            attn["out"] = out
+            loaded.append(f"{bp}.attn.proj")
+        blk["attn"] = attn
+    for t_fc, f_fc in [("mlp.fc1", "mlp1"), ("mlp.fc2", "mlp2")]:
+        m = _linear(blk, f"{bp}.{t_fc}", sd, loaded)
+        if m:
+            blk[f_fc] = m
+    return blk
+
+
+def map_ptv3(sd: dict, prefix: str, cfg, loaded: list) -> dict:
+    """Reference PointTransformerV3 U-Net -> models/ptv3.PTv3Encoder
+    ('unet') params: every enc/dec Block's attention + MLP maps 1:1; the
+    spconv embedding stem, spconv CPEs, and the pool/unpool projections
+    (whose reference forms append BatchNorm1d+GELU absent from the
+    TPU redesign) stay unmapped — finetune protocol in PARITY.md.
+    `prefix` = '...renderer.point_encoder.point_transformer'."""
+    unet: dict = {}
+    for s, (depth, heads) in enumerate(zip(cfg.ptv3_enc_depths,
+                                           cfg.ptv3_enc_heads)):
+        for b in range(depth):
+            blk = map_ptv3_block(sd, f"{prefix}.enc.enc{s}.block{b}",
+                                 heads, loaded)
+            if blk:
+                unet[f"enc{s}_b{b}"] = blk
+    for d, (depth, heads) in enumerate(zip(cfg.ptv3_dec_depths,
+                                           cfg.ptv3_dec_heads)):
+        for b in range(depth):
+            blk = map_ptv3_block(sd, f"{prefix}.dec.dec{d}.block{b}",
+                                 heads, loaded)
+            if blk:
+                unet[f"dec{d}_b{b}"] = blk
+    return {"unet": unet} if unet else {}
+
+
 def map_gaussian_heads(sd: dict, prefix: str, loaded: list) -> dict:
     out = {}
     for src, dst in [("xyz_layer", "xyz_layer"),
@@ -287,7 +360,13 @@ def import_reference_checkpoint(path: str, cfg, stage: int = 1) -> Tuple[dict, d
     released full checkpoint layout, reference main2.py:127-138). Merge with
     `merge_into` below.
     """
-    sd = load_torch_state_dict(path)
+    return map_reference_state_dict(load_torch_state_dict(path), cfg, stage)
+
+
+def map_reference_state_dict(sd: dict, cfg, stage: int = 1) -> Tuple[dict, dict]:
+    """State-dict-level body of `import_reference_checkpoint`: also callable
+    on a SYNTHETIC zeros state dict built from a key/shape manifest
+    (tools/manifest.py) to dry-run the mapping without the released asset."""
     loaded: list = []
     P = "triplane_gaussian"
     params: dict = {}
@@ -351,6 +430,10 @@ def import_reference_checkpoint(path: str, cfg, stage: int = 1) -> Tuple[dict, d
             refine[f"layers_{i}"] = m
     if refine:
         rend["refine_mlp"] = refine
+    ptv3 = map_ptv3(sd, f"{P}.renderer.point_encoder.point_transformer",
+                    cfg, loaded)
+    if ptv3:
+        rend["point_refiner"] = ptv3
     if rend:
         params["renderer"] = rend
 
@@ -370,10 +453,15 @@ def import_reference_checkpoint(path: str, cfg, stage: int = 1) -> Tuple[dict, d
         "skipped_modules": skipped,
     }
     if ups:
-        report["notes"] = [
+        report.setdefault("notes", []).append(
             "upsampler BatchNorms folded from running stats — run with "
             "model.renderer.upsampler_norm='affine' for exact inference "
-            "parity"]
+            "parity")
+    if ptv3:
+        report.setdefault("notes", []).append(
+            "PTv3 U-Net partially imported: block attention+MLP mapped 1:1; "
+            "spconv stem/CPEs and pool/unpool projections need the "
+            "finetune protocol in PARITY.md")
     return params, report
 
 

@@ -293,3 +293,107 @@ def test_stage2_import_no_structural_twin_skipped():
     at_skipped = [m for m in report["skipped_modules"]
                   if m.startswith("audio_triplane")]
     assert at_skipped == [], at_skipped
+
+
+def test_ptv3_block_import_forward():
+    """Forward agreement: a reference PTv3 Block's attention+MLP weights
+    (torch oracle re-stating pointtransformer_v3.py:528-615 math, CPE
+    zeroed) mapped through map_ptv3_block into a SerialBlock produce the
+    same output on an all-valid single patch."""
+    import torch.nn as tnn
+    import jax
+    import jax.numpy as jnp
+    from audio_motion_avatar_tpu.models.ptv3 import SerialBlock
+
+    torch.manual_seed(0)
+    C, H, P = 32, 4, 16
+    D = C // H
+
+    class OracleBlock(tnn.Module):
+        # reference Block minus CPE/DropPath (identity at eval with cpe=0)
+        def __init__(self):
+            super().__init__()
+            self.norm1 = tnn.LayerNorm(C)
+            self.qkv = tnn.Linear(C, C * 3)
+            self.proj = tnn.Linear(C, C)
+            self.norm2 = tnn.LayerNorm(C)
+            self.fc1 = tnn.Linear(C, C * 4)
+            self.fc2 = tnn.Linear(C * 4, C)
+
+        def forward(self, x):           # (P, C), one patch, all valid
+            s = x
+            h = self.norm1(x)
+            qkv = self.qkv(h).reshape(1, P, 3, H, D).permute(2, 0, 3, 1, 4)
+            q, k, v = qkv.unbind(0)
+            attn = (q * D ** -0.5) @ k.transpose(-2, -1)
+            attn = attn.softmax(dim=-1)
+            h = (attn @ v).transpose(1, 2).reshape(P, C)
+            x = s + self.proj(h)
+            s = x
+            h = self.fc2(tnn.functional.gelu(self.fc1(self.norm2(x))))
+            return s + h
+
+    oracle = OracleBlock().eval()
+    x_np = np.random.RandomState(1).randn(P, C).astype(np.float32)
+    with torch.no_grad():
+        want = oracle(torch.from_numpy(x_np)).numpy()
+
+    # reference state-dict naming for one enc block
+    bp = "pt.enc.enc0.block0"
+    sd = {}
+    for src, dst in [("norm1", "norm1.0"), ("qkv", "attn.qkv"),
+                     ("proj", "attn.proj"), ("norm2", "norm2.0"),
+                     ("fc1", "mlp.fc1"), ("fc2", "mlp.fc2")]:
+        mod = getattr(oracle, src)
+        sd[f"{bp}.{dst}.weight"] = mod.weight.detach()
+        sd[f"{bp}.{dst}.bias"] = mod.bias.detach()
+
+    loaded = []
+    blk_params = ti.map_ptv3_block(sd, bp, H, loaded)
+    assert {"ln1", "ln2", "attn", "mlp1", "mlp2"} <= set(blk_params)
+    assert len(loaded) == 6
+
+    block = SerialBlock(dim=C, heads=H, patch_size=P)
+    variables = block.init(jax.random.PRNGKey(0),
+                           jnp.asarray(x_np), jnp.ones((P,), bool))
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    # zero the xCPE (the unmapped redesigned component)
+    params["cpe"] = {k: np.zeros_like(v) for k, v in params["cpe"].items()}
+    merged, mism = ti.merge_into(params, blk_params)
+    assert not mism, mism
+    got = np.asarray(block.apply({"params": merged}, jnp.asarray(x_np),
+                                 jnp.ones((P,), bool)))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+
+
+def test_ptv3_unet_import_wiring():
+    """map_ptv3 lands blocks at the right unet slots and the import report
+    shows PTv3 partially loaded instead of wholly skipped."""
+    cfg = CFG
+    sd = {}
+    pref = "triplane_gaussian.renderer.point_encoder.point_transformer"
+    # one enc block at stage 0 (tiny cfg: enc_channels[0]=16, heads 2)
+    C = cfg.ptv3_enc_channels[0]
+    bp = f"{pref}.enc.enc0.block0"
+    sd[f"{bp}.norm1.0.weight"] = torch.randn(C)
+    sd[f"{bp}.norm1.0.bias"] = torch.randn(C)
+    sd[f"{bp}.attn.qkv.weight"] = torch.randn(3 * C, C)
+    sd[f"{bp}.attn.qkv.bias"] = torch.randn(3 * C)
+    sd[f"{bp}.attn.proj.weight"] = torch.randn(C, C)
+    sd[f"{bp}.attn.proj.bias"] = torch.randn(C)
+    sd[f"{bp}.mlp.fc1.weight"] = torch.randn(4 * C, C)
+    sd[f"{bp}.mlp.fc1.bias"] = torch.randn(4 * C)
+    sd[f"{bp}.mlp.fc2.weight"] = torch.randn(C, 4 * C)
+    sd[f"{bp}.mlp.fc2.bias"] = torch.randn(C)
+    # an unmapped spconv CPE stays skipped
+    sd[f"{bp}.cpe.0.weight"] = torch.randn(27, C, C)
+
+    params, report = ti.map_reference_state_dict(sd, cfg, stage=1)
+    unet = params["renderer"]["point_refiner"]["unet"]
+    assert "enc0_b0" in unet
+    q = unet["enc0_b0"]["attn"]["query"]["kernel"]
+    assert q.shape == (C, cfg.ptv3_enc_heads[0], C // cfg.ptv3_enc_heads[0])
+    # qkv split: query kernel equals the first C rows of qkv, transposed
+    want_q = np.asarray(sd[f"{bp}.attn.qkv.weight"])[:C].T.reshape(q.shape)
+    np.testing.assert_array_equal(q, want_q)
+    assert any("cpe" in s for s in report["skipped_modules"])
