@@ -131,6 +131,9 @@ SERVING_PROFILE = {
     # 1 descriptor-bound gather + 1 index build per point/plane instead of
     # 4+4 (gather_probe A1/A6: a 4C-wide row costs the same as a C row)
     "sample_quad": True,
+    # nearest2x+conv3x3 fused into one input-dilated conv: round-3 TPU sweep
+    # winner (17.27 vs 16.19 fps; Winograd measured slower on-chip at 14.83)
+    "upsampler_upconv": "dilated",
 }
 
 
