@@ -342,6 +342,7 @@ class Renderer(nn.Module):
         if F <= 0 or BT % F != 0:
             F = 1
         n_chunks = BT // F
+        unroll = self._auto_unroll(F, n_chunks)
 
         def chunked(x):
             return x.reshape((n_chunks, F) + x.shape[1:])
@@ -360,7 +361,7 @@ class Renderer(nn.Module):
             frame = nn.remat(frame, prevent_cse=False)
         scan = nn.scan(frame, variable_broadcast="params",
                        split_rngs={"params": False}, in_axes=0, out_axes=0,
-                       unroll=max(1, min(self.scan_unroll, n_chunks)))
+                       unroll=unroll)
         _, (gaussians, images) = scan(
             self, None,
             (chunked(planes_lr), chunked(points), chunked(transl),
@@ -373,3 +374,51 @@ class Renderer(nn.Module):
         if render:
             rendered = images.reshape(B, T, *images.shape[2:])
         return rendered, gaussians
+
+    def _auto_unroll(self, F: int, n_chunks: int) -> int:
+        """Scan-unroll with a compile-time HBM guard.
+
+        Unrolling the frame scan lets XLA overlap chunks, but each unrolled
+        chunk keeps its upsampler working set live: the DENSE 32->512
+        upsampler at frames_scan_unroll=8 compiled to 17.5G > 15.75G HBM
+        (ROUND2.md OOM repro). Estimate the live bytes per chunk (~3
+        concurrent plane tensors per level: up-conv out, skip, sum) and
+        halve the requested unroll until it fits the budget
+        (AMA_SCAN_HBM_BUDGET_GB env, default 12 — leaves headroom for
+        params, sorts and splat buffers on a 16G v5e), warning once."""
+        import os
+        import warnings
+
+        unroll = max(1, min(self.scan_unroll, n_chunks))
+        if unroll <= 1:
+            return unroll
+        C = self.feature_dim
+        R = self.triplane_resolution
+        itemsize = 2 if self.compute_dtype is not None else 4
+        if self.upsample_triplane:
+            r_final = R * (2 ** self.num_upsample_blocks)
+            if self.upsampler_sparse:
+                tile = self.upsampler_sparse_tile_px
+                grid = max(1, r_final // tile)
+                cap = min(self.upsampler_sparse_max_tiles, grid * grid)
+                area_final = cap * tile * tile
+            else:
+                area_final = r_final * r_final
+            # dense lower levels sum to < R_final^2 / 3 (geometric)
+            area_dense = (r_final * r_final) // 3
+            if self.upsampler_sparse:
+                area_dense //= 4  # final dense level is R_final/2
+        else:
+            area_final, area_dense = R * R, 0
+        chunk_bytes = F * 3 * C * itemsize * (3 * area_final + 2 * area_dense)
+        budget = float(os.environ.get("AMA_SCAN_HBM_BUDGET_GB", "12")) * 1e9
+        tapered = unroll
+        while tapered > 1 and tapered * chunk_bytes > budget:
+            tapered //= 2
+        if tapered != unroll:
+            warnings.warn(
+                f"frames_scan_unroll tapered {unroll} -> {tapered}: "
+                f"~{unroll * chunk_bytes / 1e9:.1f} GB of live scan chunks "
+                f"exceeds the {budget / 1e9:.1f} GB HBM budget "
+                "(set AMA_SCAN_HBM_BUDGET_GB to override)", stacklevel=2)
+        return tapered

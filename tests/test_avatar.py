@@ -182,3 +182,33 @@ def test_avatar_sparse_slab_sampling_matches_taps():
                           jnp.asarray(ref.video), ref.smpl_parms, cam)
     np.testing.assert_allclose(np.asarray(out_b.rendered_images),
                                np.asarray(out_a.rendered_images), atol=1e-4)
+
+
+def test_auto_unroll_guard():
+    """ROUND2 OOM repro: the DENSE upsampler at frames_scan_unroll>=2 with
+    6-frame chunks estimates ~17.7 GB of live scan chunks -> auto-tapers to
+    1 with a warning; the sparse serving config fits and keeps its unroll
+    (models/renderer.py:_auto_unroll)."""
+    from audio_motion_avatar_tpu.models.renderer import Renderer
+
+    dense = Renderer(triplane_resolution=32, feature_dim=256,
+                     num_upsample_blocks=4, frames_per_chunk=6,
+                     scan_remat=False, scan_unroll=8,
+                     compute_dtype=jnp.bfloat16, upsampler_sparse=False)
+    with pytest.warns(UserWarning, match="frames_scan_unroll tapered"):
+        assert dense._auto_unroll(6, 2) == 1
+
+    sparse = Renderer(triplane_resolution=32, feature_dim=256,
+                      num_upsample_blocks=4, frames_per_chunk=6,
+                      scan_remat=False, scan_unroll=8,
+                      compute_dtype=jnp.bfloat16, upsampler_sparse=True,
+                      upsampler_sparse_max_tiles=256)
+    assert sparse._auto_unroll(6, 2) == 2
+
+    # budget override re-admits the dense unroll
+    import os
+    os.environ["AMA_SCAN_HBM_BUDGET_GB"] = "64"
+    try:
+        assert dense._auto_unroll(6, 2) == 2
+    finally:
+        del os.environ["AMA_SCAN_HBM_BUDGET_GB"]
