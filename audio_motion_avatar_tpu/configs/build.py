@@ -134,6 +134,9 @@ SERVING_PROFILE = {
     # nearest2x+conv3x3 fused into one input-dilated conv: round-3 TPU sweep
     # winner (17.27 vs 16.19 fps; Winograd measured slower on-chip at 14.83)
     "upsampler_upconv": "dilated",
+    # two-tier splat binning (exact while <= large_cap gaussians exceed the
+    # window): 18.09 vs 17.41 fps on the r3 prod sweep (2026-08-18)
+    "splat_large_cap": 2048,
 }
 
 

@@ -416,19 +416,23 @@ def grid_sample_2d_sparse_quad(quad: jnp.ndarray, sorted_ids: jnp.ndarray,
     sc = jnp.clip(sl, 0, cap - 1)
     idx = sc * (T * T) + (sy % tile_px) * T + (sx % tile_px)
     # idx is in-bounds by construction (sc<=cap-1, sy%T<T) -> mode='clip'
-    # drops the out-of-bounds select. The combine stays as lane-aligned
-    # slices of the (N, 4C) gather so XLA fuses slice+convert+mul+add into
-    # ONE kLoop over the bf16 rows: the previous reshape-to-(N,4,C) +
-    # astype(f32) materialized a 737 MB f32 intermediate per plane-pass
-    # (xprof_quad 2026-08-18: 48 ms convert + 45 ms multiply-reduce per
-    # rollout). Same math: f32 weights x f32-converted bf16 taps.
-    v = jnp.take(rows, idx, axis=0, mode="clip").astype(jnp.float32)
+    # drops the out-of-bounds select. The combine is lane-aligned slices of
+    # the (N, 4C) bf16 gather with the f32 convert applied PER SLICE: a
+    # single whole-array astype(f32) before slicing has 4 consumers, so XLA
+    # materializes it — 1.79 ms x ~19 convert HLOs f32[180000,1024] in the
+    # prod trace (xprof_prod 2026-08-18, ~34 ms/rollout). Converting after
+    # each slice fuses convert+mul+add into one kLoop over the bf16 rows.
+    # Same math: f32 weights x f32-converted bf16 taps, in either order.
+    v = jnp.take(rows, idx, axis=0, mode="clip")
     w00 = (ay0 * ax0 * ok)[:, None]
     w01 = (ay0 * ax1 * ok)[:, None]
     w10 = (ay1 * ax0 * ok)[:, None]
     w11 = (ay1 * ax1 * ok)[:, None]
-    return (w00 * v[:, :C] + w01 * v[:, C:2 * C]
-            + w10 * v[:, 2 * C:3 * C] + w11 * v[:, 3 * C:])
+
+    def tap(i):
+        return v[:, i * C:(i + 1) * C].astype(jnp.float32)
+
+    return w00 * tap(0) + w01 * tap(1) + w10 * tap(2) + w11 * tap(3)
 
 
 def sample_triplane_sparse_quad(sp, quad: jnp.ndarray, points: jnp.ndarray,

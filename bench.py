@@ -41,9 +41,11 @@ def e2e_serving():
     # round-3 TPU sweep winner — 17.27 fps vs 16.19 quad/poly, with Winograd
     # a measured LOSS on-chip (14.83) despite the 2.25x MAC cut (sweep_p1,
     # 2026-08-18)
+    # splat_large_cap=2048: two-tier binning, exact (18.09 vs 17.41 fps on
+    # the r3 prod sweep 2026-08-18)
     res = run(batch=2, frames_per_chunk=6, ablate="none", reps=3,
               image_size=(512, 512), sparse=True, sparse_cap=256,
-              sample_quad=True, upconv="dilated")
+              sample_quad=True, upconv="dilated", splat_large_cap=2048)
     return {
         "metric": "e2e_audio_to_512px_avatar",
         "value": round(res["fps"], 2),
