@@ -1,0 +1,51 @@
+"""Golden-frame demo protocol test (VERDICT r2 #3b).
+
+Runs the FULL two-stream demo (`parity_check --run` -> main2 demo: stage-1
+init pass, autoregressive audio rollout, sliding token window, frame
+writing — reference protocol src/main2.py:123-388) at the tiny profile on
+CPU with deterministic seeds, then pushes the produced frames through the
+SAME comparator gate a real-asset parity run will use (mean|diff| <= 1e-2,
+PSNR >= 40 dB) against a checked-in golden fixture.
+
+This exercises the complete parity *machinery* in CI — frame production,
+ordering, encoding, comparison — so that when the released checkpoint and
+real assets are mounted, `tools/parity_check.py --run --checkpoint ...`
+only changes the weights, not the code path.
+
+Regenerate the fixture after an intentional renderer/demo change:
+  REGEN_DEMO_GOLDEN=1 python -m pytest tests/test_demo_golden.py -q
+"""
+
+import os
+import shutil
+import sys
+from pathlib import Path
+
+import pytest
+
+ROOT = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(ROOT / "tools"))
+from parity_check import compare, run_ours  # noqa: E402
+
+GOLDEN = Path(__file__).parent / "fixtures" / "demo_golden"
+CONFIG = str(ROOT / "audio_motion_avatar_tpu" / "configs" / "config_tiny.yaml")
+
+
+def test_demo_frames_match_golden(tmp_path):
+    out = str(tmp_path / "parity_ours")
+    run_ours(CONFIG, None, out, None)
+    frames = Path(out) / "demo_outputs" / "frames"
+    assert frames.is_dir() and any(frames.iterdir()), "demo produced no frames"
+
+    if os.environ.get("REGEN_DEMO_GOLDEN"):
+        if GOLDEN.exists():
+            shutil.rmtree(GOLDEN)
+        shutil.copytree(frames, GOLDEN)
+        pytest.skip(f"regenerated {GOLDEN}")
+
+    if not GOLDEN.exists():
+        pytest.fail("golden fixture missing — run with REGEN_DEMO_GOLDEN=1")
+
+    # the exact production parity gate (parity_check defaults)
+    r = compare(str(frames), str(GOLDEN))
+    assert r["pass"], r

@@ -75,6 +75,29 @@ def flash_attn(block_q, block_k, q, k, v):
     return out.transpose(0, 2, 1, 3)[:, :S]
 
 
+def flash_seg(block_q, block_k, Sp, q, k, v):
+    """Production pad plan: pad to the 128-multiple Sp (not a block
+    multiple) with segment-id masking; blocks must divide Sp."""
+    from jax.experimental.pallas.ops.tpu import flash_attention as fa
+    B, S, H, D = q.shape
+    pad = Sp - S
+
+    def p(t):
+        return jnp.pad(t, ((0, 0), (0, pad), (0, 0), (0, 0)))
+
+    qh = p(q).transpose(0, 2, 1, 3)
+    kh = p(k).transpose(0, 2, 1, 3)
+    vh = p(v).transpose(0, 2, 1, 3)
+    seg = jnp.where(jnp.arange(Sp) < S, 1, 2).astype(jnp.int32)
+    seg = jnp.broadcast_to(seg[None], (B, Sp))
+    bs = fa.BlockSizes(block_q=block_q, block_k_major=block_k,
+                       block_k=block_k, block_b=1)
+    out = fa.flash_attention(qh, kh, vh,
+                             segment_ids=fa.SegmentIds(q=seg, kv=seg),
+                             sm_scale=D ** -0.5, block_sizes=bs)
+    return out.transpose(0, 2, 1, 3)[:, :S]
+
+
 def splash_attn(block_q, block_kv, q, k, v):
     """splash-attention kernel (newer v5e-tuned Pallas MHA)."""
     from jax.experimental.pallas.ops.tpu.splash_attention import (
@@ -127,6 +150,24 @@ def main():
     results["xla_bf16"] = time_fn(xla_attn, q, k, v, a.iters)
     print(json.dumps({"impl": "xla_bf16", "ms": round(results['xla_bf16'], 3)}),
           flush=True)
+
+    # production pad plan (models/transformer.py Attention._flash): pad S to
+    # the next 128 multiple (6304 -> 6400) with segment-id masking, then
+    # sweep every 128-multiple block pair that divides the padded length —
+    # much less padded work than the power-of-two grid below.
+    Sp = ((a.seq + 127) // 128) * 128
+    blocks = [b for b in range(128, min(Sp, 3200) + 1, 128) if Sp % b == 0]
+    for bq in blocks:
+        for bk in blocks:
+            name = f"flashseg_q{bq}_k{bk}"
+            try:
+                ms = time_fn(functools.partial(flash_seg, bq, bk, Sp),
+                             q, k, v, a.iters)
+                results[name] = ms
+                print(json.dumps({"impl": name, "ms": round(ms, 3)}), flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(json.dumps({"impl": name, "error": str(e)[:120]}),
+                      flush=True)
 
     for bq in (512, 1024, 2048):
         for bk in (512, 1024, 2048):

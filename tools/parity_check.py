@@ -29,6 +29,10 @@ import json
 import os
 import sys
 
+# `python tools/parity_check.py` puts tools/ (not the repo root) on
+# sys.path; --run imports the package, so anchor the root explicitly.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def _load_frames(d: str):
     import numpy as np

@@ -121,6 +121,16 @@ def main():
     else:
         step, state, args = build_stage2()
 
+    # step FLOPs from the compiled executable (XLA's own count) -> MFU
+    flops = None
+    try:
+        cost = step.lower(state, *args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0)) or None
+    except Exception as e:  # cost analysis is best-effort on axon
+        print(f"[bench] cost_analysis unavailable: {e}")
+
     t0 = time.time()
     state, metrics = step(state, *args)
     fence = float(metrics["loss"])
@@ -133,8 +143,13 @@ def main():
         fence = float(metrics["loss"])  # host-transfer fence
         times.append(time.time() - t0)
     t = float(np.median(times))
+    V5E_BF16_PEAK = 197e12  # one v5e chip, bf16
+    mfu = (flops / t / V5E_BF16_PEAK) if flops else None
     print(f"[bench] {which} train step: {t:.3f}s/step (median of 4, "
           f"times={['%.3f' % x for x in times]})")
+    if flops:
+        print(f"[bench] {which} step FLOPs (XLA-counted): {flops/1e12:.2f}T "
+              f"-> MFU {100*mfu:.1f}% of v5e bf16 peak")
 
 
 if __name__ == "__main__":

@@ -130,36 +130,29 @@ def summarize_components(fw_path, reps=3):
 
 
 def summarize_hlo_csv(csv_path, top):
-    import csv as csvmod
-    with open(csv_path) as f:
-        rows = list(csvmod.reader(f))
-    if not rows:
+    """Despite the .csv name, the plugin emits gviz JSON — parse it and
+    print per-HLO self time, measured bandwidth and boundedness."""
+    try:
+        d = json.loads(open(csv_path).read())
+    except Exception as e:
+        print(f"[xprof] hlo_stats parse failed: {e}")
         return
-    head = rows[0]
-    print("columns:", head)
+    d = d[0] if isinstance(d, list) else d
+    idx = {c["id"]: i for i, c in enumerate(d["cols"])}
 
-    def col(*names):
-        for n in names:
-            for i, h in enumerate(head):
-                if n.lower() in h.lower():
-                    return i
-        return None
+    def get(r, cid):
+        v = r["c"][idx[cid]]
+        return v["v"] if v else None
 
-    i_name = col("hlo_op_expression", "hlo op name", "op_name", "hlo_op_name")
-    i_cat = col("hlo_category", "category")
-    i_self = col("total_self_time_in_us", "self time (us)", "self_time")
-    i_pct = col("self time fraction", "occurrences")
-    if i_self is None:
-        print("could not locate self-time column; raw head:", rows[:3])
-        return
     items = []
-    for r in rows[1:]:
-        try:
-            items.append((float(r[i_self]),
-                          r[i_cat] if i_cat is not None else "",
-                          (r[i_name] if i_name is not None else "")[:160]))
-        except (ValueError, IndexError):
+    for r in d["rows"]:
+        t = get(r, "total_self_time") or 0
+        if not t:
             continue
+        bound = get(r, "bound_by") or ""
+        bw = get(r, "measured_memory_bw") or 0
+        expr = str(get(r, "hlo_op_expression"))[:150]
+        items.append((float(t), f"{bound} {bw:.0f}GB/s", expr))
     items.sort(reverse=True)
     total = sum(v for v, _, _ in items)
     print(f"\n== top {top} HLO ops by self time (total {total/1e3:.1f} ms "
@@ -168,8 +161,9 @@ def summarize_hlo_csv(csv_path, top):
         print(f"{v/1e3:9.3f} ms {100*v/total:5.1f}%  [{cat}] {name}")
     agg = {}
     for v, cat, _ in items:
-        agg[cat] = agg.get(cat, 0.0) + v
-    print("\n== by category ==")
+        b = cat.split()[0] if cat.split() else "?"
+        agg[b] = agg.get(b, 0.0) + v
+    print("\n== by boundedness ==")
     for cat, v in sorted(agg.items(), key=lambda kv: -kv[1]):
         print(f"{v/1e3:9.3f} ms {100*v/total:5.1f}%  {cat}")
 
