@@ -9,6 +9,12 @@ set -x
 cd /root/repo
 export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
 
+# phase-1 retries (tool bugs fixed: stage2 step 4-tuple, compute_dtype
+# kwarg, AvatarOutput.triplane_tokens field name)
+timeout 3600 python tools/train_bench.py stage2 2>&1 | tee /tmp/train_s2.log
+timeout 3600 python tools/stage1_bench.py --vit-only 2>&1 | tee /tmp/s1_vit.log
+timeout 3600 python tools/stage1_bench.py 2>&1 | tee /tmp/s1_full.log
+
 timeout 7200 python tools/serve_bench.py --sparse --sparse-cap 256 \
   --upconv dilated --trace-out /tmp/xprof_affine \
   --sweep 'prod_affine:sample_quad=true,splat_large_cap=2048,upsampler_norm=affine;prod_affine_c192:sample_quad=true,splat_large_cap=2048,upsampler_norm=affine,upsampler_sparse_max_tiles=192' \

@@ -32,7 +32,7 @@ def run_vit(image_size: int, reps: int):
     import jax.numpy as jnp
     from audio_motion_avatar_tpu.models.image_encoder import SapiensEncoder
 
-    enc = SapiensEncoder(resolution=image_size, dtype=jnp.bfloat16)
+    enc = SapiensEncoder(resolution=image_size, compute_dtype=jnp.bfloat16)
     img = jnp.asarray(np.random.RandomState(0)
                       .rand(1, 3, image_size, image_size).astype(np.float32))
     print("[stage1_bench] init ViT (Sapiens-1B geometry)...", flush=True)
@@ -94,7 +94,7 @@ def run_full(image_size: int, reps: int):
     @jax.jit
     def fwd(params, video, smpl, cam):
         out = model.apply({"params": params}, statics, video, smpl, cam)
-        return out.fused_triplane_tokens.mean() + out.smpl_tokens.mean()
+        return out.triplane_tokens.mean() + out.smpl_tokens.mean()
 
     cam = ref.cam_parms
     t0 = time.time()

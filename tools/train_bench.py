@@ -131,15 +131,20 @@ def main():
     except Exception as e:  # cost analysis is best-effort on axon
         print(f"[bench] cost_analysis unavailable: {e}")
 
+    def run_step(state):
+        out = step(state, *args)
+        # stage-2's step also returns the predicted tokens (cache curriculum)
+        return out[0], out[1]
+
     t0 = time.time()
-    state, metrics = step(state, *args)
+    state, metrics = run_step(state)
     fence = float(metrics["loss"])
     print(f"[bench] compile+first step: {time.time()-t0:.1f}s loss={fence:.4f}")
 
     times = []
     for _ in range(4):
         t0 = time.time()
-        state, metrics = step(state, *args)
+        state, metrics = run_step(state)
         fence = float(metrics["loss"])  # host-transfer fence
         times.append(time.time() - t0)
     t = float(np.median(times))
