@@ -372,12 +372,47 @@ def quad_rows(tiles: jnp.ndarray, slot: jnp.ndarray, grid: int) -> jnp.ndarray:
     A1 vs A6), so storing each footprint as ONE row turns 4 tap gathers
     into 1 — ~4x on the sampling bucket (xprof: 173 ms/rollout). The 4x
     storage is transient (built per chunk, shared by both sampling passes).
+
+    Built DIRECTLY from `tiles` + the 3 neighbor edge strips — no
+    (cap, T+1, T+1, C) `tile_halo` intermediate: at serving scale the
+    haloed array is ~1.3 GB/rollout written then re-read 4x by the tap
+    slices (xprof_prod 2026-08-18: quad-layout assembly ~55 ms at
+    ~110 GB/s); the direct form's taps are slices of `tiles` itself.
+    Output is bit-identical to the halo+slice construction (tested).
     """
-    T = tiles.shape[1]
-    th = tile_halo(tiles, slot, grid)                  # (cap, T+1, T+1, C)
-    return jnp.concatenate(
-        [th[:, :T, :T], th[:, :T, 1:T + 1],
-         th[:, 1:T + 1, :T], th[:, 1:T + 1, 1:T + 1]], axis=-1)
+    cap, T, _, C = tiles.shape
+    G2 = grid * grid
+    # slot -> tile id (inverse of the slot map; holes map nowhere)
+    tid = jnp.argmax(slot[None, :] == jnp.arange(cap)[:, None], axis=1)
+    r = tid // grid
+    c = tid % grid
+
+    def neighbor(dr, dc):
+        ok = (r + dr < grid) & (c + dc < grid)
+        nt = jnp.clip(tid + dr * grid + dc, 0, G2 - 1)
+        ns = jnp.where(ok, slot[nt], -1)
+        return jnp.clip(ns, 0), (ns >= 0)
+
+    nr, okr = neighbor(0, 1)
+    nb, okb = neighbor(1, 0)
+    nd, okd = neighbor(1, 1)
+    zero = jnp.zeros((), tiles.dtype)
+    right = jnp.where(okr[:, None, None], tiles[nr, :, 0, :], zero)  # (cap,T,C)
+    bottom = jnp.where(okb[:, None, None], tiles[nb, 0, :, :], zero)
+    corner = jnp.where(okd[:, None], tiles[nd, 0, 0, :], zero)       # (cap,C)
+
+    tap0 = tiles
+    tap1 = jnp.concatenate([tiles[:, :, 1:], right[:, :, None, :]], axis=2)
+    tap2 = jnp.concatenate([tiles[:, 1:, :], bottom[:, None, :, :]], axis=1)
+    # tap3 = th[1:, 1:]: interior shift; last col from the right strip
+    # (rows 1..T-1) ending in the corner; last row from the bottom strip
+    # (cols 1..T-1) ending in the corner.
+    t3_top = jnp.concatenate(
+        [tiles[:, 1:, 1:], right[:, 1:, None, :]], axis=2)   # (cap,T-1,T,C)
+    t3_last = jnp.concatenate(
+        [bottom[:, 1:, :], corner[:, None, :]], axis=1)      # (cap,T,C)
+    tap3 = jnp.concatenate([t3_top, t3_last[:, None]], axis=1)
+    return jnp.concatenate([tap0, tap1, tap2, tap3], axis=-1)
 
 
 def slot_rank(sorted_ids: jnp.ndarray, tid: jnp.ndarray):

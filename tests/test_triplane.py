@@ -398,6 +398,42 @@ def test_quad_sampler_matches_taps():
 
 
 @pytest.mark.quick
+def test_quad_rows_matches_halo_slices():
+    """quad_rows builds the 4 tap fields DIRECTLY from tiles + neighbor
+    edge strips (no tile_halo intermediate); it must be bit-identical to
+    the halo+slice construction, on full and partial coverage."""
+    import jax.numpy as jnp
+    from audio_motion_avatar_tpu.ops import triplane as T
+
+    def via_halo(tiles, slot, grid):
+        Tn = tiles.shape[1]
+        th = T.tile_halo(tiles, slot, grid)
+        return jnp.concatenate(
+            [th[:, :Tn, :Tn], th[:, :Tn, 1:Tn + 1],
+             th[:, 1:Tn + 1, :Tn], th[:, 1:Tn + 1, 1:Tn + 1]], axis=-1)
+
+    rng = np.random.RandomState(21)
+    grid, tile, C = 4, 8, 16
+    G2 = grid * grid
+
+    tiles = jnp.asarray(rng.randn(G2, tile, tile, C).astype(np.float32))
+    slot = jnp.arange(G2, dtype=np.int32)
+    np.testing.assert_array_equal(np.asarray(T.quad_rows(tiles, slot, grid)),
+                                  np.asarray(via_halo(tiles, slot, grid)))
+
+    keep = np.ones(G2, bool)
+    keep[[0, 2, 5, 13, 15]] = False   # incl. grid corners/edges
+    slot2 = np.full(G2, -1, np.int32)
+    slot2[keep] = np.arange(int(keep.sum()))
+    slot2 = jnp.asarray(slot2)
+    tiles2 = jnp.asarray(rng.randn(int(keep.sum()), tile, tile, C)
+                         .astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(T.quad_rows(tiles2, slot2, grid)),
+        np.asarray(via_halo(tiles2, slot2, grid)))
+
+
+@pytest.mark.quick
 def test_sample_triplane_sparse_quad_full_pipeline():
     """sample_triplane_sparse_quad over a full-coverage SparseTriplanes
     equals sample_triplane_sparse (3 planes, batched)."""
