@@ -43,9 +43,19 @@ def e2e_serving():
     # 2026-08-18)
     # splat_large_cap=2048: two-tier binning, exact (18.09 vs 17.41 fps on
     # the r3 prod sweep 2026-08-18)
+    # upsampler_norm='affine': the REFERENCE-PARITY serving configuration —
+    # the released .ckpt runs BatchNorm in eval mode, i.e. per-channel
+    # affine with folded running stats (reference renderer.py:348-366; our
+    # torch importer folds them, training/torch_import._bn_affine, and
+    # defaults upsampler_norm='affine' on import). GroupNorm is our
+    # TRAINING-config norm (SPMD-clean, stat-free); serving a self-trained
+    # GN checkpoint measures ~1.9 fps lower (19.26 affine vs 17.41 GN,
+    # sweep_affine 2026-08-19) because GN pays stats reduce+normalize on
+    # the dense 256-res level every frame.
     res = run(batch=2, frames_per_chunk=6, ablate="none", reps=3,
               image_size=(512, 512), sparse=True, sparse_cap=256,
-              sample_quad=True, upconv="dilated", splat_large_cap=2048)
+              sample_quad=True, upconv="dilated", splat_large_cap=2048,
+              upsampler_norm="affine")
     return {
         "metric": "e2e_audio_to_512px_avatar",
         "value": round(res["fps"], 2),

@@ -1,0 +1,27 @@
+#!/bin/bash
+# Round-3 TPU measurement queue, phase 3 (run after r3_queue2.sh):
+#   1. VPU transcendental probe — is exp2 cheaper than exp? (decides
+#      whether a custom exp2 flash kernel can beat 2.85 ms/layer-step)
+#   2. fused 2-chunk serving rollout at the prod_affine config — pays the
+#      ~24 ms/rollout dispatch idle once per 2 chunks (exactness pinned by
+#      tests/test_serve_fuse.py)
+#   3. official bench.py with the affine (released-ckpt parity) config —
+#      refreshes .bench_cache with the new production number
+set -x
+cd /root/repo
+export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
+
+timeout 1800 python tools/vpu_probe.py 2>&1 | tee /tmp/vpu_probe.log
+
+timeout 7200 python tools/serve_bench.py --sparse --sparse-cap 256 \
+  --upconv dilated --fuse-chunks 2 \
+  --set 'sample_quad=true,splat_large_cap=2048,upsampler_norm=affine' \
+  2>&1 | tee /tmp/serve_fuse2.log
+
+timeout 7200 python bench.py 2>&1 | tee /tmp/bench_r3.log
+
+# training MFU scaling with batch (bs1 is latency-bound — show the knee)
+timeout 3600 python tools/train_bench.py stage1 --batch 2 2>&1 | tee /tmp/train_s1_b2.log
+timeout 3600 python tools/train_bench.py stage2 --batch 2 2>&1 | tee /tmp/train_s2_b2.log
+
+echo QUEUE3_DONE

@@ -341,6 +341,10 @@ def main():
     ap.add_argument("--fuse-chunks", type=int, default=1,
                     help="consecutive demo chunks fused into one program "
                          "(sliding window threaded in-graph; exact)")
+    ap.add_argument("--set", dest="set_", default=None,
+                    help="comma-separated AvatarConfig overrides for a "
+                         "single (non-sweep) run: 'field=val,field=val' — "
+                         "values parsed as JSON")
     ap.add_argument("--trace-out", default=None,
                     help="with --sweep: xprof-trace the first variant into "
                          "this directory after timing it")
@@ -371,13 +375,20 @@ def main():
                   sparse_pen_cap=a.sparse_pen_cap,
                   splat_window=a.splat_window, trace_out=a.trace_out)
         return
+    overrides = {}
+    for kv in filter(None, (a.set_ or "").split(",")):
+        k, _, v = kv.partition("=")
+        try:
+            overrides[k] = json.loads(v)
+        except json.JSONDecodeError:
+            overrides[k] = v
     res = run(a.batch, a.frames_per_chunk, a.ablate, a.reps,
               tuple(a.image_size), sparse=a.sparse, sparse_cap=a.sparse_cap,
               sparse_tile=a.sparse_tile,
               splat_segmented=not a.no_splat_segmented, upconv=a.upconv,
               sample_slab=a.slab, sparse_pen=a.sparse_pen,
               sparse_pen_cap=a.sparse_pen_cap, splat_window=a.splat_window,
-              fuse_chunks=a.fuse_chunks)
+              fuse_chunks=a.fuse_chunks, **overrides)
     print(json.dumps({k: (round(v, 2) if isinstance(v, float) else v)
                       for k, v in res.items()}))
 

@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def build_stage1():
+def build_stage1(batch: int = 1):
     import jax
     import jax.numpy as jnp
     from audio_motion_avatar_tpu.data.synthetic import make_batch
@@ -51,8 +51,8 @@ def build_stage1():
     model = TriplaneGaussianAvatar(cfg=cfg, num_verts_encoder=nverts_enc,
                                    point_refiner=build_point_refiner(cfg))
 
-    ref = make_batch(1, 1, (512, 512), seed=1)
-    test = make_batch(1, 4, (512, 512), seed=2)
+    ref = make_batch(batch, 1, (512, 512), seed=1)
+    test = make_batch(batch, 4, (512, 512), seed=2)
     jx = lambda b: jax.tree_util.tree_map(jnp.asarray, b)
     ref, test = jx(ref), jx(test)
     variables = model.init(jax.random.PRNGKey(0), statics, ref.video,
@@ -67,7 +67,7 @@ def build_stage1():
     return step, state, (ref, test)
 
 
-def build_stage2():
+def build_stage2(batch: int = 1):
     import jax
     import jax.numpy as jnp
     from audio_motion_avatar_tpu.data.synthetic import make_batch
@@ -92,8 +92,8 @@ def build_stage2():
         int(np.asarray(smplx_model.faces).shape[0])
     model = AudioDrivenAvatar(cfg=cfg, num_verts_encoder=nverts_enc,
                               point_refiner=build_point_refiner(cfg))
-    ref = make_batch(1, cfg.triplane_input_frames, (512, 512), seed=1)
-    tgt = make_batch(1, cfg.triplane_output_frames, (512, 512), seed=2,
+    ref = make_batch(batch, cfg.triplane_input_frames, (512, 512), seed=1)
+    tgt = make_batch(batch, cfg.triplane_output_frames, (512, 512), seed=2,
                      with_audio=True, audio_dim=cfg.audio_feature_dim)
     jx = lambda b: jax.tree_util.tree_map(jnp.asarray, b)
     ref, tgt = jx(ref), jx(tgt)
@@ -105,21 +105,29 @@ def build_stage2():
     state = TrainState.create(params, tx)
     step = stage2.make_train_step(model, statics, cfg)
     S = 3 * cfg.triplane_resolution ** 2
-    zt = jnp.zeros((1, cfg.triplane_input_frames, cfg.triplane_feature_dim, S))
-    zs = jnp.zeros((1, cfg.triplane_input_frames, cfg.smpl_token_dim,
+    zt = jnp.zeros((batch, cfg.triplane_input_frames,
+                    cfg.triplane_feature_dim, S))
+    zs = jnp.zeros((batch, cfg.triplane_input_frames, cfg.smpl_token_dim,
                     cfg.smpl_token_len))
-    flag = jnp.zeros((1,))
+    flag = jnp.zeros((batch,))
     return step, state, (ref, tgt, zt, zs, flag)
 
 
 def main():
-    which = sys.argv[1] if len(sys.argv) > 1 else "stage1"
+    argv = [a for a in sys.argv[1:]]
+    batch = 1
+    if "--batch" in argv:
+        i = argv.index("--batch")
+        batch = int(argv[i + 1])
+        del argv[i:i + 2]
+    which = argv[0] if argv else "stage1"
     import jax
-    print(f"[bench] backend={jax.default_backend()} devices={jax.devices()}")
+    print(f"[bench] backend={jax.default_backend()} devices={jax.devices()} "
+          f"batch={batch}")
     if which == "stage1":
-        step, state, args = build_stage1()
+        step, state, args = build_stage1(batch)
     else:
-        step, state, args = build_stage2()
+        step, state, args = build_stage2(batch)
 
     # step FLOPs from the compiled executable (XLA's own count) -> MFU
     flops = None
