@@ -128,9 +128,10 @@ class Attention(nn.Module):
     # materialized = 4.11 ms per layer. Opt-in per call site.
     use_flash: bool = False
     # Pallas kernel choice when use_flash: 'flash' (jax flash_attention,
-    # differentiable — training path) or 'splash' (splash-attention MHA,
+    # differentiable — training path), 'splash' (splash-attention MHA,
     # forward-only serving; measured 4.55 vs 4.79 ms/layer at B=2 S=6304,
-    # tools/attn_probe.py).
+    # tools/attn_probe.py), or 'serve' (ops/serve_attention.py — K/V
+    # resident in VMEM, single-pass exact softmax, forward-only).
     flash_impl: str = "flash"
     # Compute only the last q_tail query positions (keys/values full).
     q_tail: Optional[int] = None
@@ -178,7 +179,8 @@ class Attention(nn.Module):
                     and k.shape[2] >= FLASH_MIN_SEQ
                     and jax.default_backend() == "tpu")
         if flash_ok:
-            impl = self._splash if self.flash_impl == "splash" else self._flash
+            impl = {"splash": self._splash,
+                    "serve": self._serve}.get(self.flash_impl, self._flash)
             out = impl(q, k, v, scale)
         else:
             logits = jnp.einsum("bhsd,bhtd->bhst", q, k) * scale
@@ -242,6 +244,17 @@ class Attention(nn.Module):
                                  segment_ids=fa.SegmentIds(q=seg_q, kv=seg_kv),
                                  sm_scale=scale, block_sizes=bs)
         return out[:, :, :S]
+
+    @staticmethod
+    def _serve(q, k, v, scale):
+        """Forward-only single-pass kernel (ops/serve_attention.py): K/V
+        resident in VMEM, full-row softmax, pad keys masked by bias row."""
+        from ..ops.serve_attention import serve_attention
+
+        return serve_attention(q.astype(jnp.bfloat16),
+                               k.astype(jnp.bfloat16),
+                               v.astype(jnp.bfloat16),
+                               scale=float(scale)).astype(q.dtype)
 
     @staticmethod
     def _splash(q, k, v, scale):

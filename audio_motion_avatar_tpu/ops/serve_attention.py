@@ -1,0 +1,119 @@
+"""Forward-only Pallas attention kernel tuned for the audio-rollout shape.
+
+The stage-2 AR transformer self-attends over S=6304 tokens with D=64 heads
+(B=2, H=8) 48 times per rollout (8 layers x 6 AR steps) — the reference's
+xformers attention path (reference src/models/transformers.py:31-90), our
+largest single serving cost (137 ms/rollout at 2.85 ms/layer-step with the
+stock jax flash kernel, xprof_affine 2026-08-19).
+
+Why a custom kernel can beat the stock one at THIS shape:
+  * K/V for one (batch, head) are only ~800 KB each in bf16 — both fit in
+    VMEM outright, so each query block computes logits against the FULL key
+    set in one MXU call and takes an EXACT single-pass softmax (row max ->
+    exp -> sum). No online-softmax running max/sum, no per-k-block
+    accumulator rescales, no per-block segment-id masking.
+  * padding is handled by ONE additive (Sp,) bias row (0 for valid keys,
+    -1e9 for pad) fused into the logits — the stock kernel instead
+    evaluates segment-id compares + selects over every (q, k) element.
+  * the PV matmul contracts over the full Sp — long-contraction MXU work
+    instead of block_k-sized pieces.
+  * softmax exp is the VPU bottleneck at this shape (~655M exps/layer-step);
+    the `use_exp2` knob computes exp(x) as exp2(x * log2 e) for hardware
+    with a faster exp2 path (tools/vpu_probe.py decides).
+
+Forward-only: serving never differentiates through the rollout. The
+training path keeps the differentiable stock flash kernel
+(models/transformer.py Attention._flash).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LOG2E = math.log2(math.e)
+
+
+def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float,
+            use_exp2: bool, logits_bf16: bool):
+    q = q_ref[0, 0]                                   # (BQ, D) bf16
+    k = k_ref[0, 0]                                   # (Sp, D) bf16
+    v = v_ref[0, 0]                                   # (Sp, D) bf16
+    logits = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)           # (BQ, Sp)
+    logits = logits * scale + bias_ref[0][None, :]
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    x = logits - m
+    if logits_bf16:
+        x = x.astype(jnp.bfloat16)
+    if use_exp2:
+        p = jnp.exp2(x * (jnp.bfloat16(LOG2E) if logits_bf16 else LOG2E))
+    else:
+        p = jnp.exp(x)
+    s = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(jnp.bfloat16), v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)           # (BQ, D)
+    o_ref[0, 0] = (o / s).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "use_exp2",
+                                             "logits_bf16"))
+def serve_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                    scale: float, block_q: int = 256,
+                    use_exp2: bool = True,
+                    logits_bf16: bool = False) -> jnp.ndarray:
+    """(B, H, S, D) bf16 q/k/v -> (B, H, S, D) attention output.
+
+    S is padded to a 128 multiple internally; padded KEYS are masked with an
+    additive -1e9 bias (softmax weight ~0), padded QUERY rows compute
+    garbage-but-finite values and are sliced off. Exact (f32 softmax) unless
+    `logits_bf16`.
+    """
+    B, H, S, D = q.shape
+    Skv = k.shape[2]
+    assert k.shape == v.shape == (B, H, Skv, D), (q.shape, k.shape, v.shape)
+    Sp = pl.cdiv(Skv, 128) * 128
+    bq = min(block_q, pl.cdiv(S, 128) * 128)
+    # grid pads queries to a block multiple too
+    Sq = pl.cdiv(S, bq) * bq
+
+    def pad_to(t, n):
+        return jnp.pad(t, ((0, 0), (0, 0), (0, n - t.shape[2]), (0, 0)))
+
+    qp, kp, vp = pad_to(q, Sq), pad_to(k, Sp), pad_to(v, Sp)
+    bias = jnp.where(jnp.arange(Sp) < Skv, 0.0, -1e9).astype(jnp.float32)
+    bias = bias[None, :]                              # (1, Sp) — 2D for TPU
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, scale=float(scale), use_exp2=use_exp2,
+                          logits_bf16=logits_bf16),
+        out_shape=jax.ShapeDtypeStruct((B, H, Sq, D), q.dtype),
+        grid=(B, H, Sq // bq),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, D), lambda b, h, i: (b, h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Sp, D), lambda b, h, i: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Sp, D), lambda b, h, i: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Sp), lambda b, h, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bq, D), lambda b, h, i: (b, h, i, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * Sq * Sp * D,
+            bytes_accessed=(B * H * (Sq + 2 * Sp) * D * 2
+                            + B * H * Sq * D * 2),
+            transcendentals=B * H * Sq * Sp,
+        ),
+    )(qp, kp, vp, bias)
+    return out[:, :, :S]

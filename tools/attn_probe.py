@@ -193,6 +193,34 @@ def main():
                 print(json.dumps({"impl": name, "error": str(e)[:120]}),
                       flush=True)
 
+    # custom forward-only serving kernel (ops/serve_attention.py): K/V
+    # resident in VMEM, single-pass exact softmax, exp vs exp2 knob
+    from audio_motion_avatar_tpu.ops.serve_attention import serve_attention
+
+    def serve(bq, e2, lb, q, k, v):
+        out = serve_attention(q.transpose(0, 2, 1, 3),
+                              k.transpose(0, 2, 1, 3),
+                              v.transpose(0, 2, 1, 3),
+                              scale=a.dim ** -0.5, block_q=bq,
+                              use_exp2=e2, logits_bf16=lb)
+        return out.transpose(0, 2, 1, 3)
+
+    for bq in (128, 256, 512):
+        for e2 in (False, True):
+            for lb in (False, True):
+                name = (f"serve_q{bq}_{'exp2' if e2 else 'exp'}"
+                        f"{'_bf16' if lb else ''}")
+                try:
+                    ms = time_fn(functools.partial(serve, bq, e2, lb),
+                                 q, k, v, a.iters)
+                    results[name] = ms
+                    print(json.dumps({"impl": name, "ms": round(ms, 3)}),
+                          flush=True)
+                except Exception as e:  # noqa: BLE001 — VMEM overflow at
+                    # big block_q is an expected sweep outcome
+                    print(json.dumps({"impl": name, "error": str(e)[:120]}),
+                          flush=True)
+
     best = min(results, key=results.get)
     print(json.dumps({"best": best, "ms": round(results[best], 3),
                       "batch": a.batch, "seq": a.seq}))
