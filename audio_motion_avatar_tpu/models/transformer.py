@@ -198,14 +198,16 @@ class Attention(nn.Module):
         return out_layer(out)
 
     @staticmethod
-    def _pad_block(S: int, max_block: int = 1024):
+    def _pad_block(S: int, max_block: int = 1280):
         """Pad plan for the Pallas kernels: the kernels compute the FULL
         padded S^2 (segment-id masking zeroes results but not work), so pad
         to the next 128 lane multiple and pick the largest block that
         divides it, instead of padding to a whole block multiple. At the
-        rollout's S=6304 that is Sp=6400/block=640 vs the old 7168/1024 —
-        -21%% padded attention FLOPs. Falls back to 512-blocks when the
-        128-multiple is block-hostile (e.g. 128 x prime)."""
+        rollout's S=6304 that is Sp=6400/block=1280 (vs the original
+        7168/1024 — -21%% padded attention FLOPs; the B=2 block sweep
+        measured q1280/k1280 4.07 ms vs q640 4.51, tools/attn_probe.py
+        2026-08-19). Falls back to 512-blocks when the 128-multiple is
+        block-hostile (e.g. 128 x prime)."""
         Sp = ((S + 127) // 128) * 128
         for b in range(max_block, 127, -128):
             if Sp % b == 0 and b >= 256:

@@ -157,7 +157,8 @@ def test_flash_pad_block_plan():
     (>=256), falling back to 512-blocks for block-hostile lengths."""
     from audio_motion_avatar_tpu.models.transformer import Attention
 
-    assert Attention._pad_block(6304) == (6400, 640)   # the audio rollout
+    assert Attention._pad_block(6304) == (6400, 1280)  # the audio rollout
+    # (1280 over 640: B=2 block sweep, tools/attn_probe.py 2026-08-19)
     assert Attention._pad_block(3152) == (3200, 640)   # fusion q
     assert Attention._pad_block(4096) == (4096, 1024)  # sapiens tokens
     assert Attention._pad_block(512) == (512, 512)

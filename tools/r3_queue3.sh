@@ -13,10 +13,21 @@ export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
 
 timeout 1800 python tools/vpu_probe.py 2>&1 | tee /tmp/vpu_probe.log
 
+# attn probe re-run: picks up the serve-kernel variants (most stock
+# variants hit the compile cache from the 03:12 run)
+timeout 3600 python tools/attn_probe.py --batch 2 2>&1 | tee /tmp/attn_probe2.log
+
 timeout 7200 python tools/serve_bench.py --sparse --sparse-cap 256 \
   --upconv dilated --fuse-chunks 2 \
   --set 'sample_quad=true,splat_large_cap=2048,upsampler_norm=affine' \
   2>&1 | tee /tmp/serve_fuse2.log
+
+# serve-attention e2e variant (kernel measured standalone by attn_probe2;
+# this confirms in-graph) + cap-192 on the new base for the knob table
+timeout 7200 python tools/serve_bench.py --sparse --sparse-cap 256 \
+  --upconv dilated \
+  --sweep 'prod_serveattn:sample_quad=true,splat_large_cap=2048,upsampler_norm=affine,audio_attn_impl=serve' \
+  2>&1 | tee /tmp/sweep_serveattn.log
 
 timeout 7200 python bench.py 2>&1 | tee /tmp/bench_r3.log
 
