@@ -112,6 +112,7 @@ class TriplaneGaussianAvatar(nn.Module):
             upsampler_norm=c.upsampler_norm,
             sample_slab=c.sample_slab,
             sample_quad=c.sample_quad,
+            quad_builder=c.quad_builder,
             name="renderer")
 
     def __call__(self, statics: RendererStatics, images: jnp.ndarray,

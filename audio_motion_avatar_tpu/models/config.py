@@ -65,6 +65,7 @@ class AvatarConfig:
     # sparse sampling via ONE quad-row gather per point/plane (descriptor-
     # bound take: a 4C row costs the same as a C row — gather_probe A1/A6)
     sample_quad: bool = False
+    quad_builder: str = "xla"     # 'xla' | 'pallas' (see models/renderer.py)
     # sapiens_encoder.yaml
     image_feature_dim: int = 1536
     vit_depth: int = 40

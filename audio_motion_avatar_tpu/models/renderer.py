@@ -131,6 +131,10 @@ class Renderer(nn.Module):
     # are descriptor-bound — see ops.triplane.quad_rows). Wins over both
     # the 4-tap and slab forms; takes precedence over sample_slab.
     sample_quad: bool = False
+    # Quad-layout builder: 'xla' (slice+concat assembly) or 'pallas'
+    # (ops.triplane.quad_rows_pallas — one-pass strip-routed copy kernel);
+    # identical values, CPU always uses 'xla'.
+    quad_builder: str = "xla"
 
     def setup(self):
         if self.upsample_triplane:
@@ -211,7 +215,7 @@ class Renderer(nn.Module):
             # per-plane grid_sample coords of the body points drive the
             # covered-tile selection (the halo covers refiner offsets)
             u = jnp.clip(points / self.radius, -1.0, 1.0)    # (F, N, 3)
-            from ..ops.triplane import (PLANE_AXES, quad_rows,
+            from ..ops.triplane import (PLANE_AXES, build_quad,
                                         sample_triplane_sparse,
                                         sample_triplane_sparse_slab,
                                         sample_triplane_sparse_quad,
@@ -221,9 +225,8 @@ class Renderer(nn.Module):
             planes = self.upsampler(planes_lr, points_uv=uv)
             if self.sample_quad:
                 # quad layout built ONCE, shared by both sampling passes
-                q = jax.vmap(jax.vmap(
-                    lambda t, s: quad_rows(t, s, planes.grid)))(
-                        planes.tiles, planes.slot)
+                q = build_quad(planes.tiles, planes.slot, planes.grid,
+                               builder=self.quad_builder)
                 sample = partial(sample_triplane_sparse_quad, planes, q)
             elif self.sample_slab:
                 # halo built ONCE, shared by the pre- and post-refiner passes

@@ -415,6 +415,102 @@ def quad_rows(tiles: jnp.ndarray, slot: jnp.ndarray, grid: int) -> jnp.ndarray:
     return jnp.concatenate([tap0, tap1, tap2, tap3], axis=-1)
 
 
+def _neighbor_slots(slot: jnp.ndarray, grid: int, cap: int):
+    """Right/bottom/diag neighbor SLOT per slot, with missing/uncovered
+    neighbors mapped to `cap` (the all-zero pad slot appended by the Pallas
+    quad builder). Same neighbor logic as quad_rows/tile_halo."""
+    G2 = grid * grid
+    tid = jnp.argmax(slot[None, :] == jnp.arange(cap)[:, None], axis=1)
+    r = tid // grid
+    c = tid % grid
+
+    def n(dr, dc):
+        ok = (r + dr < grid) & (c + dc < grid)
+        nt = jnp.clip(tid + dr * grid + dc, 0, G2 - 1)
+        ns = jnp.where(ok, slot[nt], -1)
+        return jnp.where(ns >= 0, ns, cap).astype(jnp.int32)
+
+    return n(0, 1), n(1, 0), n(1, 1)
+
+
+def _quad_kernel(nr_ref, nb_ref, nd_ref, t_ref, r_ref, b_ref, d_ref, o_ref):
+    t = t_ref[0, 0]                      # (T, T, C)
+    rcol = r_ref[0, 0]                   # (T, C)  right neighbor col x=0
+    brow = b_ref[0, 0]                   # (T, C)  bottom neighbor row y=0
+    corn = d_ref[0, 0][0:1]              # (1, C)  diag neighbor texel (0,0)
+    tap0 = t
+    tap1 = jnp.concatenate([t[:, 1:, :], rcol[:, None, :]], axis=1)
+    tap2 = jnp.concatenate([t[1:, :, :], brow[None, :, :]], axis=0)
+    t3_top = jnp.concatenate([t[1:, 1:, :], rcol[1:, None, :]], axis=1)
+    t3_last = jnp.concatenate([brow[1:, :], corn], axis=0)
+    tap3 = jnp.concatenate([t3_top, t3_last[None]], axis=0)
+    o_ref[0, 0] = jnp.concatenate([tap0, tap1, tap2, tap3], axis=-1)
+
+
+def quad_rows_pallas(tiles: jnp.ndarray, slot: jnp.ndarray,
+                     grid: int) -> jnp.ndarray:
+    """`quad_rows` as ONE Pallas pass: (FP, cap, T, T, C) + (FP, G*G) ->
+    (FP, cap, T, T, 4C), identical values.
+
+    The XLA build assembles the 3 shifted taps with slices + concats that
+    materialize ~55 ms/rollout of fragmented copies at ~110 GB/s
+    (xprof_affine 2026-08-19: `_render_frame` slice 29.7 + concatenate
+    15.1 + slice 10.4). This kernel reads each tile once plus three tiny
+    edge strips (neighbor blocks routed by scalar-prefetched slot indices)
+    and writes the quad row in one DMA — ~3 GB/chunk of traffic instead of
+    ~6+ GB of fragmented copies. Missing neighbors read an appended
+    all-zero pad slot, matching quad_rows' masked strips."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    FP, cap, T, _, C = tiles.shape
+    nr, nb, nd = jax.vmap(lambda s: _neighbor_slots(s, grid, cap))(slot)
+    zero = jnp.zeros((FP, 1, T, T, C), tiles.dtype)
+    tiles_ext = jnp.concatenate([tiles, zero], axis=1)  # (FP, cap+1, ...)
+    # edge strips (strided slices of tiles_ext — small: cap*T*C per frame)
+    rstrips = tiles_ext[:, :, :, 0, :]                  # (FP, cap+1, T, C)
+    bstrips = tiles_ext[:, :, 0, :, :]                  # (FP, cap+1, T, C)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(FP, cap),
+        in_specs=[
+            pl.BlockSpec((1, 1, T, T, C), lambda f, s, nr, nb, nd: (f, s, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, T, C), lambda f, s, nr, nb, nd: (f, nr[f, s], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, T, C), lambda f, s, nr, nb, nd: (f, nb[f, s], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, T, C), lambda f, s, nr, nb, nd: (f, nd[f, s], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, T, T, 4 * C),
+                               lambda f, s, nr, nb, nd: (f, s, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        _quad_kernel,
+        out_shape=jax.ShapeDtypeStruct((FP, cap, T, T, 4 * C), tiles.dtype),
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=0,
+            bytes_accessed=2 * FP * cap * T * T * C * 2 * 5,
+            transcendentals=0),
+    )(nr, nb, nd, tiles_ext, rstrips, bstrips, rstrips)
+
+
+def build_quad(tiles: jnp.ndarray, slot: jnp.ndarray, grid: int,
+               builder: str = "xla") -> jnp.ndarray:
+    """(B, 3, cap, T, T, C) tiles + (B, 3, G*G) slot -> (B, 3, cap, T, T,
+    4C) quad rows via the XLA or Pallas builder (identical values)."""
+    if builder == "pallas" and jax.default_backend() == "tpu":
+        B, P = tiles.shape[:2]
+        flat = tiles.reshape((B * P,) + tiles.shape[2:])
+        q = quad_rows_pallas(flat, slot.reshape(B * P, -1), grid)
+        return q.reshape(tiles.shape[:2] + q.shape[1:])
+    return jax.vmap(jax.vmap(lambda t, s: quad_rows(t, s, grid)))(tiles, slot)
+
+
 def slot_rank(sorted_ids: jnp.ndarray, tid: jnp.ndarray):
     """Slot lookup WITHOUT a gather: select_tiles assigns slots in
     ascending tile-id order, so a tile's slot equals its rank in

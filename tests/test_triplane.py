@@ -434,6 +434,38 @@ def test_quad_rows_matches_halo_slices():
 
 
 @pytest.mark.quick
+def test_quad_rows_pallas_matches_xla():
+    """The Pallas quad builder (strip-routed one-pass copy kernel) must be
+    bit-identical to quad_rows, full and partial coverage, incl. the
+    batched build_quad dispatcher layout."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+    from audio_motion_avatar_tpu.ops import triplane as T
+
+    rng = np.random.RandomState(22)
+    grid, tile, C = 4, 8, 128   # C=128: one lane tile
+    G2 = grid * grid
+
+    # partial coverage with holes incl. corners/edges + slot-table padding
+    keep = np.ones(G2, bool)
+    keep[[0, 3, 6, 12, 15]] = False
+    cap = int(keep.sum()) + 2   # 2 pad slots beyond coverage
+    slot = np.full(G2, -1, np.int32)
+    slot[keep] = np.arange(int(keep.sum()))
+    tiles = rng.randn(2, cap, tile, tile, C).astype(np.float32)
+    tiles[:, int(keep.sum()):] = 0.0                  # pad slots are zeros
+    tiles = jnp.asarray(tiles, jnp.bfloat16)
+    slots = jnp.asarray(np.stack([slot, slot]))
+
+    want = jax.vmap(lambda t, s: T.quad_rows(t, s, grid))(tiles, slots)
+    with pltpu.force_tpu_interpret_mode():
+        got = T.quad_rows_pallas(tiles, slots, grid)
+    np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                  np.asarray(want, np.float32))
+
+
+@pytest.mark.quick
 def test_sample_triplane_sparse_quad_full_pipeline():
     """sample_triplane_sparse_quad over a full-coverage SparseTriplanes
     equals sample_triplane_sparse (3 planes, batched)."""

@@ -24,9 +24,9 @@ timeout 7200 python tools/serve_bench.py --sparse --sparse-cap 256 \
 
 # serve-attention e2e variant (kernel measured standalone by attn_probe2;
 # this confirms in-graph) + cap-192 on the new base for the knob table
-timeout 7200 python tools/serve_bench.py --sparse --sparse-cap 256 \
+timeout 10800 python tools/serve_bench.py --sparse --sparse-cap 256 \
   --upconv dilated \
-  --sweep 'prod_serveattn:sample_quad=true,splat_large_cap=2048,upsampler_norm=affine,audio_attn_impl=serve' \
+  --sweep 'prod_serveattn:sample_quad=true,splat_large_cap=2048,upsampler_norm=affine,audio_attn_impl=serve;prod_quadpallas:sample_quad=true,splat_large_cap=2048,upsampler_norm=affine,quad_builder=pallas;prod_serve_quadp:sample_quad=true,splat_large_cap=2048,upsampler_norm=affine,audio_attn_impl=serve,quad_builder=pallas' \
   2>&1 | tee /tmp/sweep_serveattn.log
 
 timeout 7200 python bench.py 2>&1 | tee /tmp/bench_r3.log
