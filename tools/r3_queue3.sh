@@ -31,6 +31,12 @@ timeout 10800 python tools/serve_bench.py --sparse --sparse-cap 256 \
 
 timeout 7200 python bench.py 2>&1 | tee /tmp/bench_r3.log
 
+# overfit convergence rerun: neutral-pose subject (live gradient from
+# step 0 — the posed-subject run collapsed to all-white, see
+# tools/overfit_bench.py docstring), lr 2e-4
+timeout 5400 python tools/overfit_bench.py --steps 600 --eval-every 20 \
+  --dump-dir /tmp/overfit_dumps2 2>&1 | tee /tmp/overfit2.log
+
 # training MFU scaling with batch (bs1 is latency-bound — show the knee)
 timeout 3600 python tools/train_bench.py stage1 --batch 2 2>&1 | tee /tmp/train_s1_b2.log
 timeout 3600 python tools/train_bench.py stage2 --batch 2 2>&1 | tee /tmp/train_s2_b2.log
