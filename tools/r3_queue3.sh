@@ -31,6 +31,9 @@ timeout 10800 python tools/serve_bench.py --sparse --sparse-cap 256 \
 
 timeout 7200 python bench.py 2>&1 | tee /tmp/bench_r3.log
 
+# refiner dec0-MLP isolation (erf-gelu fusion hypothesis)
+timeout 3600 python tools/refiner_probe.py 2>&1 | tee /tmp/refiner_probe2.log
+
 # overfit convergence rerun: neutral-pose subject (live gradient from
 # step 0 — the posed-subject run collapsed to all-white, see
 # tools/overfit_bench.py docstring), lr 2e-4

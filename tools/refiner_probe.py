@@ -85,6 +85,34 @@ def main():
     print(json.dumps({"variant": "stage0_sorts_12frames", "ms": round(ms, 2)}),
           flush=True)
 
+    # dec0 MLP isolation: xprof_affine shows mlp2 ((N,1024)@(1024,256)) at
+    # 6.16 ms/rollout vs the identical-FLOP mlp1 at 1.31 — hypothesis: the
+    # exact-erf GELU fuses into the dot as an operand and stalls the MXU
+    # pipeline on VPU transcendentals. Variants isolate that.
+    N = a.frames * 30720
+    x = jnp.asarray(rng.randn(N, 256).astype(np.float32)).astype(jnp.bfloat16)
+    w1 = jnp.asarray(rng.randn(256, 1024).astype(np.float32) * 0.02
+                     ).astype(jnp.bfloat16)
+    w2 = jnp.asarray(rng.randn(1024, 256).astype(np.float32) * 0.02
+                     ).astype(jnp.bfloat16)
+
+    def mlp(act, barrier, xx, _):
+        h = xx @ w1
+        h = act(h)
+        if barrier:
+            (h,) = jax.lax.optimization_barrier((h,))
+        return h @ w2
+
+    import functools
+    for name, act, barrier in (
+            ("mlp_gelu_erf", functools.partial(jax.nn.gelu, approximate=False), False),
+            ("mlp_gelu_erf_barrier", functools.partial(jax.nn.gelu, approximate=False), True),
+            ("mlp_gelu_tanh", functools.partial(jax.nn.gelu, approximate=True), False),
+            ("mlp_relu", jax.nn.relu, False),
+            ("mlp_identity", (lambda t: t), False)):
+        ms = timeit(functools.partial(mlp, act, barrier), (x, feats), a.iters)
+        print(json.dumps({"variant": name, "ms": round(ms, 2)}), flush=True)
+
 
 if __name__ == "__main__":
     main()
