@@ -67,7 +67,7 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float,
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "use_exp2",
                                              "logits_bf16"))
 def serve_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                    scale: float, block_q: int = 256,
+                    scale: float, block_q: int = 128,
                     use_exp2: bool = True,
                     logits_bf16: bool = False) -> jnp.ndarray:
     """(B, H, S, D) bf16 q/k/v -> (B, H, S, D) attention output.

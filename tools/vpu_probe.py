@@ -46,23 +46,26 @@ def _bench(fn, x, reps=20):
     return (time.time() - t0) / reps * 1000.0
 
 
-def _pallas_map(op, shape, dtype, block_rows=256):
+def _pallas_map(op, shape, dtype, block=(512, 512)):
     """One-op-per-element Pallas kernel so XLA can't fuse the timing away.
-    Grid over rows; each step computes op(block) + tiny accumulate."""
+    2D grid of modest blocks (512x512 f32 = 1 MB — in+out double-buffered
+    stays ~4 MB, well inside VMEM; a (256, 6400) block plan oversubscribed
+    VMEM and wedged the remote compiler for 16+ min)."""
 
     def kernel(x_ref, o_ref):
         o_ref[:] = op(x_ref[:])
 
     rows, cols = shape
+    br, bc = block
 
     def run(x):
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct(shape, dtype),
-            grid=(rows // block_rows,),
-            in_specs=[pl.BlockSpec((block_rows, cols), lambda i: (i, 0),
+            grid=(rows // br, cols // bc),
+            in_specs=[pl.BlockSpec((br, bc), lambda i, j: (i, j),
                                    memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((block_rows, cols), lambda i: (i, 0),
+            out_specs=pl.BlockSpec((br, bc), lambda i, j: (i, j),
                                    memory_space=pltpu.VMEM),
         )(x)
 
