@@ -84,6 +84,17 @@ def _stack_batches(a, b):
     return jax.tree_util.tree_map(cat, a, b)
 
 
+def _concat_frames(batches):
+    """Concatenate batch pytrees along the FRAME axis (axis 1) — used by
+    the fused-chunk demo to pack a chunk group's targets into one batch."""
+    import jax
+    import jax.numpy as jnp
+
+    return jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate([jnp.asarray(x) for x in xs], axis=1),
+        *batches)
+
+
 def run_demo(cfg, model, statics, ac, state, audio_path, output_path):
     """Two-stream interleaved demo (reference main2.py:142-388).
 
@@ -170,58 +181,99 @@ def run_demo(cfg, model, statics, ac, state, audio_path, output_path):
     triplanes, smpl_tokens = stage1_tokens(state.params, ref.video,
                                            ref.smpl_parms, ref.cam_parms)
 
-    @jax.jit
-    def rollout(params, triplanes, smpl_tokens, audio_chunk, cam_chunk):
-        def m(mdl, tri, smpl, audio, cam):
-            out_tri, out_smpl = mdl.audio_triplane(audio, tri, smpl)
-            B, T = out_smpl.shape[:2]
-            flat = out_smpl.reshape((B * T,) + out_smpl.shape[2:])
-            from .models.triplane_encoder import reshape_params
-            pred = reshape_params(
-                mdl.triplane_gaussian.encoder.smpl_decoder(flat), (B, T))
-            rendered, _ = mdl.triplane_gaussian.renderer(statics, out_tri,
-                                                         cam, pred)
-            return rendered, out_tri, out_smpl, pred
+    # demo_fuse_chunks > 1 runs that many consecutive chunks inside ONE
+    # jitted program, threading the sliding window in-graph — identical
+    # math (tests/test_serve_fuse.py), amortizes the fixed per-dispatch
+    # cost (~24 ms/rollout idle on the serving trace). Audio/cams for the
+    # group are concatenated on the frame axis and sliced in-graph.
+    fuse = max(1, int(getattr(ac, "demo_fuse_chunks", 1)))
 
-        return model.apply({"params": params}, triplanes, smpl_tokens,
-                           audio_chunk, cam_chunk, method=m)
+    def make_rollout(k):
+        @jax.jit
+        def rollout(params, triplanes, smpl_tokens, audio_chunks, cam_chunks):
+            def m(mdl, tri, smpl, audio, cams):
+                from .models.triplane_encoder import reshape_params
+                rlist, plist = [], []
+                for ci in range(k):
+                    aud_c = audio[:, ci * T_out:(ci + 1) * T_out]
+                    cam_c = jax.tree_util.tree_map(
+                        lambda v: v[:, ci * T_out:(ci + 1) * T_out], cams)
+                    out_tri, out_smpl = mdl.audio_triplane(aud_c, tri, smpl)
+                    B, T = out_smpl.shape[:2]
+                    flat = out_smpl.reshape((B * T,) + out_smpl.shape[2:])
+                    pred = reshape_params(
+                        mdl.triplane_gaussian.encoder.smpl_decoder(flat),
+                        (B, T))
+                    rendered, _ = mdl.triplane_gaussian.renderer(
+                        statics, out_tri, cam_c, pred)
+                    # sliding token window (reference main2.py:202-203)
+                    tri = out_tri[:, -T_in:]
+                    smpl = out_smpl[:, -T_in:]
+                    rlist.append(rendered)
+                    plist.append(pred)
+                rendered = jnp.concatenate(rlist, axis=1)
+                pred = jax.tree_util.tree_map(
+                    lambda *xs: jnp.concatenate(xs, axis=1), *plist)
+                return rendered, tri, smpl, pred
+
+            return model.apply({"params": params}, triplanes, smpl_tokens,
+                               audio_chunks, cam_chunks, method=m)
+
+        return rollout
+
+    rollouts = {fuse: make_rollout(fuse)}
+    if fuse > 1 and n_chunks % fuse:
+        rollouts[1] = make_rollout(1)   # remainder chunks run unfused
 
     faces = np.asarray(statics.smplx_model.faces)
     even_seq, odd_seq = [], []
     even_smplx, odd_smplx = [], []
-    for c in range(n_chunks):
-        _, tgt_a, _ = dataset[idx_a[c]]
-        _, tgt_b, _ = dataset[idx_b[c]]
-        tgt = jx(_stack_batches(tgt_a, tgt_b))
+    n_full = n_chunks - n_chunks % fuse
+    groups = [list(range(g, g + fuse)) for g in range(0, n_full, fuse)]
+    groups += [[c] for c in range(n_full, n_chunks)]
+    for group in groups:
+        tgts = []
+        for c in group:
+            _, tgt_a, _ = dataset[idx_a[c]]
+            _, tgt_b, _ = dataset[idx_b[c]]
+            tgts.append(jx(_stack_batches(tgt_a, tgt_b)))
+        tgt = tgts[0] if len(tgts) == 1 else _concat_frames(tgts)
+        c = group[0]
+        G = len(group)
+        T_g = G * T_out
         if wav_feats is not None:
             base = 2 * c * T_out
-            fa = wav_feats[base:base + 2 * T_out:2]       # even frames
-            fb = wav_feats[base + 1:base + 2 * T_out:2]   # odd frames
+            fa = wav_feats[base:base + 2 * T_g:2]         # even frames
+            fb = wav_feats[base + 1:base + 2 * T_g:2]     # odd frames
             audio = jnp.asarray(np.stack([fa, fb]))
         else:
             audio = tgt.audio_features
-        rendered, out_tri, out_smpl, pred = rollout(
+        rendered, out_tri, out_smpl, pred = rollouts[G](
             state.params, triplanes, smpl_tokens, audio, tgt.cam_parms)
-        # sliding token window (main2.py:202-203)
-        triplanes = out_tri[:, -T_in:]
-        smpl_tokens = out_smpl[:, -T_in:]
+        # sliding token window (main2.py:202-203; the fused program returns
+        # the already-slid last-T_in window)
+        triplanes = out_tri
+        smpl_tokens = out_smpl
 
-        # per-batch eval losses (main2.py:206-211)
+        # per-batch eval losses (main2.py:206-211), printed per sub-chunk
         gt = jnp.transpose(tgt.video, (0, 1, 3, 4, 2))
-        for b, name in ((0, "even"), (1, "odd")):
-            l1 = float(L.l1_loss(rendered[b], gt[b]))
-            parms_b = jax.tree_util.tree_map(lambda v: v[b:b + 1],
-                                             tgt.smpl_parms)
-            pred_b = jax.tree_util.tree_map(lambda v: v[b:b + 1], pred)
-            sl = float(L.smplx_param_loss(pred_b, parms_b)[0])
-            print(f"[demo] chunk {c} {name}: L1={l1:.6f} SMPLX={sl:.6f}")
+        for gi, cc in enumerate(group):
+            sl_ = slice(gi * T_out, (gi + 1) * T_out)
+            for b, name in ((0, "even"), (1, "odd")):
+                l1 = float(L.l1_loss(rendered[b, sl_], gt[b, sl_]))
+                parms_b = jax.tree_util.tree_map(
+                    lambda v: v[b:b + 1, sl_], tgt.smpl_parms)
+                pred_b = jax.tree_util.tree_map(
+                    lambda v: v[b:b + 1, sl_], pred)
+                sl = float(L.smplx_param_loss(pred_b, parms_b)[0])
+                print(f"[demo] chunk {cc} {name}: L1={l1:.6f} SMPLX={sl:.6f}")
 
         # SMPLX mesh overlay on the rendered frames (main2.py:213-220)
         flat_pred = jax.tree_util.tree_map(
             lambda v: v.reshape((-1,) + v.shape[2:]), pred)
         verts = np.asarray(smplx_ops.forward(
             statics.smplx_model, flat_pred,
-            flat_hand_mean=ac.flat_hand_mean)).reshape(2, T_out, -1, 3)
+            flat_hand_mean=ac.flat_hand_mean)).reshape(2, T_g, -1, 3)
 
         # Sparse-upsampler cap saturation guard (diagnostic): estimate the
         # per-plane covered-tile count (same cell mapping + 3x3 halo as
@@ -236,8 +288,8 @@ def run_demo(cfg, model, statics, ac, state, audio_path, output_path):
                 - 0.5 / ac.upsampler_sparse_tile_px), 0, grid - 1)
             worst = 0
             for a0, a1 in ((0, 1), (0, 2), (1, 2)):
-                cov = np.zeros((2 * T_out, grid + 2, grid + 2), bool)
-                fi = np.repeat(np.arange(2 * T_out), verts.shape[2])
+                cov = np.zeros((2 * T_g, grid + 2, grid + 2), bool)
+                fi = np.repeat(np.arange(2 * T_g), verts.shape[2])
                 cx = cell[..., a0].reshape(-1).astype(int)
                 cy = cell[..., a1].reshape(-1).astype(int)
                 for dr in range(3):
@@ -249,11 +301,11 @@ def run_demo(cfg, model, statics, ac, state, audio_path, output_path):
                       f"sparse cap {ac.upsampler_sparse_max_tiles} — "
                       f"low-priority halo tiles are being dropped; raise "
                       f"upsampler_sparse_max_tiles if artifacts appear")
-        transl = np.asarray(pred["transl"]).reshape(2, T_out, 3)
+        transl = np.asarray(pred["transl"]).reshape(2, T_g, 3)
         Ks = np.asarray(tgt.cam_parms["intrinsic"])
         Es = np.asarray(tgt.cam_parms["extrinsic"])
         rendered_np = np.asarray(rendered)
-        for t in range(T_out):
+        for t in range(T_g):
             for b, (seq, sseq) in ((0, (even_seq, even_smplx)),
                                    (1, (odd_seq, odd_smplx))):
                 frame = rendered_np[b, t]
@@ -261,7 +313,7 @@ def run_demo(cfg, model, statics, ac, state, audio_path, output_path):
                 sseq.append(draw_smplx_on_image(
                     frame, verts[b, t], faces, Ks[b, t], Es[b, t],
                     transl=transl[b, t]))
-        print(f"[demo] chunk {c + 1}/{n_chunks}")
+        print(f"[demo] chunk {group[-1] + 1}/{n_chunks}")
 
     # interleave the streams (main2.py:322-331)
     combined, combined_smplx = [], []

@@ -114,6 +114,10 @@ class AvatarConfig:
     # (differentiable — training) or 'splash' (forward-only, ~5% faster at
     # B=2 S=6304; serving).
     audio_attn_impl: str = "flash"
+    # demo: consecutive chunks fused into one program (in-graph window
+    # slide — exact; amortizes per-dispatch cost). 1 = reference-shaped
+    # one-chunk dispatches.
+    demo_fuse_chunks: int = 1
 
     @classmethod
     def default(cls) -> "AvatarConfig":

@@ -49,3 +49,18 @@ def test_demo_frames_match_golden(tmp_path):
     # the exact production parity gate (parity_check defaults)
     r = compare(str(frames), str(GOLDEN))
     assert r["pass"], r
+
+
+def test_demo_fused_chunks_matches_golden(tmp_path):
+    """demo_fuse_chunks=2 (in-graph window slide) must pass the same
+    golden gate — the fused program is exact, incl. the unfused remainder
+    chunk when n_chunks is odd."""
+    if not GOLDEN.exists():
+        pytest.skip("golden fixture missing")
+    out = str(tmp_path / "parity_fused")
+    run_ours(CONFIG, None, out, None,
+             overrides=["model.demo_fuse_chunks=2"])
+    frames = Path(out) / "demo_outputs" / "frames"
+    assert frames.is_dir() and any(frames.iterdir())
+    r = compare(str(frames), str(GOLDEN))
+    assert r["pass"], r

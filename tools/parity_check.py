@@ -85,12 +85,13 @@ def compare(ours_dir: str, theirs_dir: str, budget: float = 1e-2,
     return result
 
 
-def run_ours(config: str, checkpoint: str, out: str, audio: str | None):
+def run_ours(config: str, checkpoint: str, out: str, audio: str | None,
+             overrides=()):
     """Render our side via the main2 demo entry (identical protocol)."""
     from audio_motion_avatar_tpu import main2
     argv = ["--config", config, "--mode", "demo", "--output",
             os.path.join(out, "sequence.mp4"),
-            "training.output_dir=" + out]
+            "training.output_dir=" + out, *overrides]
     if checkpoint:
         argv += ["--checkpoint", checkpoint]
     if audio:
