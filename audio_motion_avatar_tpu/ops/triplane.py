@@ -465,6 +465,10 @@ def quad_rows_pallas(tiles: jnp.ndarray, slot: jnp.ndarray,
 
     FP, cap, T, _, C = tiles.shape
     nr, nb, nd = jax.vmap(lambda s: _neighbor_slots(s, grid, cap))(slot)
+    # Mosaic lowers 2D scalar-prefetch indexing (nr[f, s]) to an unsupported
+    # gather; flatten to 1D + flat scalar index, the pattern JAX's own
+    # paged-attention kernel uses (page_indices.reshape(-1)).
+    nr, nb, nd = nr.reshape(-1), nb.reshape(-1), nd.reshape(-1)
     zero = jnp.zeros((FP, 1, T, T, C), tiles.dtype)
     tiles_ext = jnp.concatenate([tiles, zero], axis=1)  # (FP, cap+1, ...)
     # edge strips (strided slices of tiles_ext — small: cap*T*C per frame)
@@ -477,11 +481,14 @@ def quad_rows_pallas(tiles: jnp.ndarray, slot: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((1, 1, T, T, C), lambda f, s, nr, nb, nd: (f, s, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, T, C), lambda f, s, nr, nb, nd: (f, nr[f, s], 0, 0),
+            pl.BlockSpec((1, 1, T, C),
+                         lambda f, s, nr, nb, nd: (f, nr[f * cap + s], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, T, C), lambda f, s, nr, nb, nd: (f, nb[f, s], 0, 0),
+            pl.BlockSpec((1, 1, T, C),
+                         lambda f, s, nr, nb, nd: (f, nb[f * cap + s], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, T, C), lambda f, s, nr, nb, nd: (f, nd[f, s], 0, 0),
+            pl.BlockSpec((1, 1, T, C),
+                         lambda f, s, nr, nb, nd: (f, nd[f * cap + s], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, T, T, 4 * C),
