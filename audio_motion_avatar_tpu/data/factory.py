@@ -47,6 +47,14 @@ class DatasetFactory:
         prefetch ring (data/prefetch.py) so host decode overlaps device
         steps."""
         ds = DatasetFactory.create_dataset(cfg, split)
+        # Real datasets yield B=1 items; collate training.batch_size of
+        # them per step like the reference collate_fns
+        # (dataset_factory.py:109-137). The synthetic dataset batches
+        # internally (factory passes batch_size into its ctor).
+        bs = int(cfg.training.batch_size) if split == "train" else 1
+        if bs > 1 and not isinstance(ds, SyntheticDataset):
+            from .containers import CollatedBatches
+            ds = CollatedBatches(ds, bs)
         workers = int(cfg.training.get("dataloader", {}).get("num_workers", 0)) \
             if split == "train" else 0
         from .prefetch import maybe_prefetch

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import time
 
 import numpy as np
 
@@ -30,6 +31,11 @@ def parse_args(argv=None):
     p.add_argument("--audio", type=str, default=None,
                    help="wav file for demo mode (synthetic tone if absent)")
     p.add_argument("--output", type=str, default=None)
+    p.add_argument("--prewarm", action="store_true",
+                   help="demo mode: compile the serving programs into the "
+                        "persistent JAX compile cache (one rollout), then "
+                        "exit — a later demo run restores warm in seconds "
+                        "instead of the ~5 min cold compile")
     p.add_argument("--resume", action="store_true")
     p.add_argument("overrides", nargs="*")
     return p.parse_args(argv)
@@ -95,7 +101,8 @@ def _concat_frames(batches):
         *batches)
 
 
-def run_demo(cfg, model, statics, ac, state, audio_path, output_path):
+def run_demo(cfg, model, statics, ac, state, audio_path, output_path,
+             prewarm: bool = False):
     """Two-stream interleaved demo (reference main2.py:142-388).
 
     Structure parity with the reference demo: stream A consumes dataset
@@ -143,13 +150,9 @@ def run_demo(cfg, model, statics, ac, state, audio_path, output_path):
                                        resample_linear, SAMPLE_RATE)
     wav = None
     if audio_path and os.path.exists(audio_path):
-        import wave
-        with wave.open(audio_path, "rb") as wf:
-            sr = wf.getframerate()
-            raw = np.frombuffer(wf.readframes(wf.getnframes()), np.int16)
-            if wf.getnchannels() > 1:
-                raw = raw.reshape(-1, wf.getnchannels()).mean(-1)
-            wav = resample_linear(raw.astype(np.float32) / 32768.0, sr)
+        from .data.speech import load_audio
+        raw, sr = load_audio(audio_path)  # wav natively; mp3 via ffmpeg
+        wav = resample_linear(raw, sr)
     elif getattr(dataset[idx_a[0]][1], "audio_features", None) is None:
         dur = 2.0 * n_chunks * T_out / fps
         t = np.arange(int(dur * SAMPLE_RATE), dtype=np.float32) / SAMPLE_RATE
@@ -248,8 +251,20 @@ def run_demo(cfg, model, statics, ac, state, audio_path, output_path):
             audio = jnp.asarray(np.stack([fa, fb]))
         else:
             audio = tgt.audio_features
+        t0 = time.time()
         rendered, out_tri, out_smpl, pred = rollouts[G](
             state.params, triplanes, smpl_tokens, audio, tgt.cam_parms)
+        if group is groups[0]:
+            # fence: first-rollout wall time = compile (cold) or cache
+            # restore (warm) + one execution
+            float(rendered.mean())
+            print(f"[demo] first rollout (compile/restore + exec): "
+                  f"{time.time() - t0:.1f}s "
+                  f"(cache: {os.environ.get('JAX_COMPILATION_CACHE_DIR')})")
+            if prewarm:
+                print("[demo] --prewarm: serving programs compiled into the "
+                      "persistent cache; exiting")
+                return None
         # sliding token window (main2.py:202-203; the fused program returns
         # the already-slid last-T_in window)
         triplanes = out_tri
@@ -407,14 +422,48 @@ def main(argv=None):
                 state, ok = ckpt_mgr.restore(state)
                 print(f"[main2] resume: {'ok' if ok else 'no checkpoint'}")
         import jax, jax.numpy as jnp
+        from .training.stage2 import cache_depth_channels
+        from .training.trainer import MetricLogger, save_comparison_image
+        # observability parity with the reference's stage-2 training_step
+        # (lightning_model_wrapper.py:498-570): TB scalars, per-cache-depth
+        # l1 channels (NaN-filled), and audio-rendered comparison dumps
+        out_dir = cfg.training.output_dir
+        logger = MetricLogger(
+            os.path.join(out_dir, "tb"),
+            use_wandb=bool(cfg.training.get("logging", {}).get("use_wandb",
+                                                               False)))
+        log_every = int(cfg.training.get("logging", {})
+                        .get("log_every_n_steps", 10))
+        image_every = 1 if fast else 200  # reference dumps every 200 (:536)
         jx = lambda b: jax.tree_util.tree_map(jnp.asarray, b)
         step = 0
         for epoch in range(max_epochs):
             for ref, tgt, bid in train_data:
                 state, metrics = loop.run_step(state, jx(ref), jx(tgt), bid)
-                if step % 10 == 0:
+                depth = int(metrics.pop("cache_iter"))
+                metrics = {k: float(v) for k, v in metrics.items()}
+                metrics.update(cache_depth_channels(metrics["l1_target"],
+                                                    depth))
+                if step % log_every == 0:
+                    logger.log(step, metrics, "train")
                     print(f"[e{epoch} s{step}] " +
-                          " ".join(f"{k}={float(v):.4f}" for k, v in metrics.items()))
+                          " ".join(f"{k}={v:.4f}"
+                                   for k, v in metrics.items()
+                                   if not np.isnan(v)))
+                if step % image_every == 0:
+                    tgt_hwc = np.transpose(np.asarray(tgt.video[0]),
+                                           (0, 2, 3, 1))
+                    save_comparison_image(
+                        os.path.join(out_dir, "audio_rendered_images",
+                                     f"audio_comparison_{step}_iter{depth}.png"),
+                        np.asarray(loop.last_rendered[0]), tgt_hwc)
+                    if loop.last_ref_rendered is not None:
+                        ref_hwc = np.transpose(np.asarray(ref.video[0]),
+                                               (0, 2, 3, 1))
+                        save_comparison_image(
+                            os.path.join(out_dir, "audio_rendered_images",
+                                         f"ref_comparison_{step}.png"),
+                            np.asarray(loop.last_ref_rendered[0]), ref_hwc)
                 step += 1
                 if fast:
                     break
@@ -422,9 +471,11 @@ def main(argv=None):
                 ckpt_mgr.save(step, state)
             if fast:
                 break
+        logger.close()
         print("[main2] training done")
     elif args.mode == "demo":
-        run_demo(cfg, model, statics, ac, state, args.audio, args.output)
+        run_demo(cfg, model, statics, ac, state, args.audio, args.output,
+                 prewarm=args.prewarm)
     else:  # test
         from .data.factory import DatasetFactory
         from .training.stage2 import make_predict_step

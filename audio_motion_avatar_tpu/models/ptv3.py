@@ -95,9 +95,17 @@ class _ProjGHPD(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         C = x.shape[-1]
-        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+        # 'heads' -> the 'model' mesh axis (parallel/mesh.LOGICAL_RULES):
+        # head-parallel attention, Megatron column half
+        kernel = self.param("kernel",
+                            nn.with_logical_partitioning(
+                                nn.initializers.lecun_normal(),
+                                ("embed", "heads", None)),
                             (C, self.heads, self.head_dim))
-        bias = self.param("bias", nn.initializers.zeros,
+        bias = self.param("bias",
+                          nn.with_logical_partitioning(
+                              nn.initializers.zeros_init(),
+                              ("heads", None)),
                           (self.heads, self.head_dim))
         x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
                                                   dtype=self.dtype)
@@ -116,9 +124,16 @@ class _OutGPC(nn.Module):
     @nn.compact
     def __call__(self, y: jnp.ndarray) -> jnp.ndarray:
         H, D = y.shape[1], y.shape[3]
-        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+        # Megatron row half: contraction over sharded heads -> psum
+        kernel = self.param("kernel",
+                            nn.with_logical_partitioning(
+                                nn.initializers.lecun_normal(),
+                                ("heads", None, "embed")),
                             (H, D, self.out_dim))
-        bias = self.param("bias", nn.initializers.zeros, (self.out_dim,))
+        bias = self.param("bias",
+                          nn.with_logical_partitioning(
+                              nn.initializers.zeros_init(), ("embed",)),
+                          (self.out_dim,))
         y, kernel, bias = nn.dtypes.promote_dtype(y, kernel, bias,
                                                   dtype=self.dtype)
         return jnp.einsum("ghpd,hdc->gpc", y, kernel) + bias
@@ -214,12 +229,16 @@ class SerialBlock(nn.Module):
                                             mask.reshape(g, p))
         x = x + attn.reshape(N, C) * mask[:, None]
 
+        from .transformer import _dense
         h = nn.LayerNorm(name="ln2", dtype=self.dtype)(x)
-        h = nn.Dense(self.dim * 4, dtype=self.dtype, name="mlp1")(h)
+        # Megatron MLP pair: hidden sharded over 'model' via 'mlp'
+        h = _dense(self.dim * 4, ("embed", "mlp"), dtype=self.dtype,
+                   name="mlp1")(h)
         # exact erf GELU: torch nn.GELU default (pointtransformer_v3.py:515)
         # — flax's tanh approximation breaks weight-import parity
         h = nn.gelu(h, approximate=False)
-        h = nn.Dense(self.dim, dtype=self.dtype, name="mlp2")(h)
+        h = _dense(self.dim, ("mlp", "embed"), dtype=self.dtype,
+                   name="mlp2")(h)
         return x + h * mask[:, None]
 
 

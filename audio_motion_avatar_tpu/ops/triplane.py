@@ -434,16 +434,20 @@ def _neighbor_slots(slot: jnp.ndarray, grid: int, cap: int):
 
 
 def _quad_kernel(nr_ref, nb_ref, nd_ref, t_ref, r_ref, b_ref, d_ref, o_ref):
+    # All pieces stay 3-D (no newaxis getitem — jnp lowers newaxis via
+    # gather, which Mosaic rejects; no expand_dims — a middle unit-dim
+    # insert is an unsupported Mosaic shape cast). The strip refs are
+    # blocked (T, 1, C) / (1, T, C) so only slices + concats remain.
     t = t_ref[0, 0]                      # (T, T, C)
-    rcol = r_ref[0, 0]                   # (T, C)  right neighbor col x=0
-    brow = b_ref[0, 0]                   # (T, C)  bottom neighbor row y=0
-    corn = d_ref[0, 0][0:1]              # (1, C)  diag neighbor texel (0,0)
+    rcol = r_ref[0, 0]                   # (T, 1, C) right neighbor col x=0
+    brow = b_ref[0, 0]                   # (1, T, C) bottom neighbor row y=0
+    corn = d_ref[0, 0][0:1]              # (1, 1, C) diag neighbor texel (0,0)
     tap0 = t
-    tap1 = jnp.concatenate([t[:, 1:, :], rcol[:, None, :]], axis=1)
-    tap2 = jnp.concatenate([t[1:, :, :], brow[None, :, :]], axis=0)
-    t3_top = jnp.concatenate([t[1:, 1:, :], rcol[1:, None, :]], axis=1)
-    t3_last = jnp.concatenate([brow[1:, :], corn], axis=0)
-    tap3 = jnp.concatenate([t3_top, t3_last[None]], axis=0)
+    tap1 = jnp.concatenate([t[:, 1:, :], rcol], axis=1)
+    tap2 = jnp.concatenate([t[1:, :, :], brow], axis=0)
+    t3_top = jnp.concatenate([t[1:, 1:, :], rcol[1:]], axis=1)
+    t3_last = jnp.concatenate([brow[:, 1:, :], corn], axis=1)
+    tap3 = jnp.concatenate([t3_top, t3_last], axis=0)
     o_ref[0, 0] = jnp.concatenate([tap0, tap1, tap2, tap3], axis=-1)
 
 
@@ -471,9 +475,13 @@ def quad_rows_pallas(tiles: jnp.ndarray, slot: jnp.ndarray,
     nr, nb, nd = nr.reshape(-1), nb.reshape(-1), nd.reshape(-1)
     zero = jnp.zeros((FP, 1, T, T, C), tiles.dtype)
     tiles_ext = jnp.concatenate([tiles, zero], axis=1)  # (FP, cap+1, ...)
-    # edge strips (strided slices of tiles_ext — small: cap*T*C per frame)
-    rstrips = tiles_ext[:, :, :, 0, :]                  # (FP, cap+1, T, C)
-    bstrips = tiles_ext[:, :, 0, :, :]                  # (FP, cap+1, T, C)
+    # edge strips (strided slices of tiles_ext — small: cap*T*C per frame);
+    # kept 5-D ((T,1,C)/(1,T,C) blocks) so the kernel needs no reshapes.
+    rstrips = tiles_ext[:, :, :, 0:1, :]                # (FP, cap+1, T, 1, C)
+    bstrips = tiles_ext[:, :, 0:1, :, :]                # (FP, cap+1, 1, T, C)
+
+    def _at(a, i):
+        return a[i]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -481,14 +489,14 @@ def quad_rows_pallas(tiles: jnp.ndarray, slot: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((1, 1, T, T, C), lambda f, s, nr, nb, nd: (f, s, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, T, C),
-                         lambda f, s, nr, nb, nd: (f, nr[f * cap + s], 0, 0),
+            pl.BlockSpec((1, 1, T, 1, C),
+                         lambda f, s, nr, nb, nd: (f, _at(nr, f * cap + s), 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, T, C),
-                         lambda f, s, nr, nb, nd: (f, nb[f * cap + s], 0, 0),
+            pl.BlockSpec((1, 1, 1, T, C),
+                         lambda f, s, nr, nb, nd: (f, _at(nb, f * cap + s), 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, T, C),
-                         lambda f, s, nr, nb, nd: (f, nd[f * cap + s], 0, 0),
+            pl.BlockSpec((1, 1, T, 1, C),
+                         lambda f, s, nr, nb, nd: (f, _at(nd, f * cap + s), 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, T, T, 4 * C),

@@ -34,6 +34,20 @@ def apply_platform_env() -> None:
     if plat:
         import jax
         jax.config.update("jax_platforms", plat)
+    # Persistent compile cache by default: the serving rollout's COLD
+    # compile is ~5 min on one v5e (BASELINE.md cold/warm row); a warm
+    # cache restores it in seconds. Users can point this elsewhere or
+    # pre-populate it (`--prewarm`, docs/SERVING.md).
+    if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        cache = os.path.join(os.path.expanduser("~"), ".cache",
+                             "audio_motion_avatar_tpu", "jax_cache")
+        os.makedirs(cache, exist_ok=True)
+        os.environ["JAX_COMPILATION_CACHE_DIR"] = cache
+        try:
+            import jax
+            jax.config.update("jax_compilation_cache_dir", cache)
+        except Exception:
+            pass
 
 
 def maybe_initialize(cfg=None) -> bool:

@@ -29,6 +29,7 @@ LOGICAL_RULES = (
     ("batch", "data"),
     ("heads", "model"),
     ("mlp", "model"),
+    ("conv_out", "model"),
     ("embed", None),
     ("embed_inner", None),
 )

@@ -74,7 +74,11 @@ def stage2_loss(model, params, statics, ref_batch, target_batch,
         ref_batch.video, ref_batch.smpl_parms, ref_batch.cam_parms,
         target_batch.audio_features, target_batch.cam_parms,
         cached_triplanes=cached_tri, cached_smpl_tokens=cached_smpl,
-        use_cache=use_cache_flag)
+        use_cache=use_cache_flag,
+        # the reference's stage-2 no-grad stage-1 pass renders the ref
+        # frames too (lightning_model_wrapper.py:435-440) and dumps them
+        # as ref_comparison images (:548-570)
+        render_ref=True)
 
     target_hwc = jnp.transpose(target_batch.video, (0, 1, 3, 4, 2))
     l1 = L.l1_loss(out.rendered_images, target_hwc)
@@ -101,9 +105,23 @@ def make_train_step(model, statics, cfg):
         (loss, (metrics, out)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         new_state = state.apply_gradients(grads)
-        return new_state, metrics, out.output_triplane_tokens, out.output_smpl_tokens
+        # rendered/ref images ride along for the periodic comparison dumps
+        # (reference :536-570); they are already materialized for the loss,
+        # and the host transfer only happens when the observer fetches them
+        return (new_state, metrics, out.output_triplane_tokens,
+                out.output_smpl_tokens, out.rendered_images, out.ref_rendered)
 
     return jax.jit(step, donate_argnums=(0,))
+
+
+def cache_depth_channels(l1_value: float, use_iter: int) -> dict:
+    """The reference's per-cache-depth loss channels: the ACTIVE depth's
+    channel carries this step's l1, the others log NaN so TB renders
+    disjoint curves (lightning_model_wrapper.py:498-508)."""
+    out = {}
+    for k, s in {0: "no_cache", 1: "cache_1", 2: "cache_2"}.items():
+        out[f"l1_loss_{s}"] = l1_value if k == use_iter else float("nan")
+    return out
 
 
 def make_predict_step(model, statics, cfg):
@@ -136,6 +154,8 @@ class Stage2TrainLoop:
         self.cache = PredictionCache(replacement_prob)
         self.cfg = cfg
         self.cache_sync = cache_sync  # callable(items)->merged items or None
+        self.last_rendered = None      # device handles, set each run_step
+        self.last_ref_rendered = None
 
     def run_step(self, state, ref_batch, target_batch, batch_id: int):
         cfg = self.cfg
@@ -150,9 +170,14 @@ class Stage2TrainLoop:
                              cfg.smpl_token_dim, cfg.smpl_token_len), np.float32)
         flag = np.full((B,), 1.0 if use else 0.0, np.float32)
 
-        state, metrics, out_tri, out_smpl = self.step_fn(
-            state, ref_batch, target_batch,
-            jnp.asarray(tri), jnp.asarray(smpl), jnp.asarray(flag))
+        state, metrics, out_tri, out_smpl, rendered, ref_rendered = \
+            self.step_fn(state, ref_batch, target_batch,
+                         jnp.asarray(tri), jnp.asarray(smpl),
+                         jnp.asarray(flag))
+        # device handles for the observer's periodic comparison dumps;
+        # no host transfer unless something np.asarray()s them
+        self.last_rendered = rendered
+        self.last_ref_rendered = ref_rendered
 
         new_item = self.cache.put(batch_id, out_tri, out_smpl, iters)
         if self.cache_sync is not None:

@@ -467,7 +467,11 @@ def map_reference_state_dict(sd: dict, cfg, stage: int = 1) -> Tuple[dict, dict]
 
 def merge_into(flax_params: dict, partial: dict, path="") -> Tuple[dict, list]:
     """Recursively overlay imported arrays onto an initialized params tree,
-    checking shapes. Returns (merged, mismatches)."""
+    checking shapes. Returns (merged, mismatches). The model tree may carry
+    flax logical-partitioning metadata boxes (TP annotations) — they are
+    stripped first, so merged trees are always plain arrays."""
+    import flax.linen as nn
+    flax_params = nn.meta.unbox(flax_params)
     mismatches = []
 
     def rec(dst, src, p):

@@ -52,10 +52,16 @@ def e2e_serving():
     # GN checkpoint measures ~1.9 fps lower (19.26 affine vs 17.41 GN,
     # sweep_affine 2026-08-19) because GN pays stats reduce+normalize on
     # the dense 256-res level every frame.
+    # quad_builder='pallas': the one-pass Pallas quad-row builder (fixed
+    # 2026-08-19 — Mosaic rejected the gather the index map lowered to);
+    # 20.25 vs 19.38 fps on the r4 shared-init sweep, bit-exact vs the XLA
+    # build. fuse_chunks=2: two demo chunks in one program (in-graph window
+    # slide, exactness pinned by tests/test_serve_fuse.py) — 20.55 fps.
     res = run(batch=2, frames_per_chunk=6, ablate="none", reps=3,
               image_size=(512, 512), sparse=True, sparse_cap=256,
               sample_quad=True, upconv="dilated", splat_large_cap=2048,
-              upsampler_norm="affine")
+              upsampler_norm="affine", fuse_chunks=2,
+              quad_builder="pallas")
     return {
         "metric": "e2e_audio_to_512px_avatar",
         "value": round(res["fps"], 2),

@@ -28,6 +28,8 @@ def pytest_configure(config):
     assert len(jax.devices()) == 8, jax.devices()
     config.addinivalue_line(
         "markers", "quick: fast unit tests (pre-commit tier, `-m quick` < 2 min)")
+    config.addinivalue_line(
+        "markers", "slow: compile-heavy integration tests (excluded from quick)")
 
 
 # Modules whose every test is fast (pure-math / host-side units). The heavy
@@ -45,6 +47,8 @@ QUICK_MODULES = {
 
 def pytest_collection_modifyitems(config, items):
     for item in items:
+        if item.get_closest_marker("slow") is not None:
+            continue  # explicit slow beats module-level quick
         if item.module.__name__ in QUICK_MODULES:
             item.add_marker(pytest.mark.quick)
 

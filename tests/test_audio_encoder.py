@@ -1,9 +1,11 @@
+import pytest
 import numpy as np
 
 from audio_motion_avatar_tpu.models.audio_encoder import (
     AudioFeatureExtractor, resample_linear, SAMPLE_RATE)
 
 
+@pytest.mark.slow
 def test_features_per_video_frame_shapes():
     ex = AudioFeatureExtractor(model_path=None, dim=768)
     wav = np.random.RandomState(0).randn(SAMPLE_RATE).astype(np.float32) * 0.1
@@ -39,6 +41,7 @@ def test_resample_linear():
     assert abs(out.max() - wav.max()) < 0.05
 
 
+@pytest.mark.slow
 def test_lpips_smoke():
     import jax
     from audio_motion_avatar_tpu.utils.lpips import LPIPSLoss

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 
-@pytest.mark.quick
+@pytest.mark.slow
 def test_audio_rollout_fingerprint():
     from audio_motion_avatar_tpu.models.audio_net import AudioTriplaneNet
 
@@ -40,7 +40,7 @@ def test_audio_rollout_fingerprint():
     np.testing.assert_allclose(got, want, rtol=1e-4)
 
 
-@pytest.mark.quick
+@pytest.mark.slow
 def test_renderer_sparse_quad_fingerprint():
     """Sparse-tile + quad-sampling renderer forward at fixed seeds (fp32,
     CPU). Covers upsampler sparse level + select_tiles + quad sampling +

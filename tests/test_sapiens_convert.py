@@ -44,9 +44,11 @@ def test_convert_covers_module_tree(tmp_path):
     npz = str(tmp_path / "w.npz")
     np.savez(npz, **flat)
 
+    import flax.linen as nn
     enc = SapiensEncoder(width=32, depth=2, heads=2, patch=8, resolution=32)
     x = jnp.zeros((1, 3, 32, 32))
-    variables = enc.init(jax.random.PRNGKey(0), x)
+    # unbox: the ViT MLP/attention kernels carry TP logical-axis metadata
+    variables = nn.meta.unbox(enc.init(jax.random.PRNGKey(0), x))
     tree = flax.traverse_util.flatten_dict(variables["params"], sep="/")
 
     matched = [k for k in flat if k in tree and tree[k].shape == flat[k].shape]

@@ -14,7 +14,9 @@ import pytest
 from audio_motion_avatar_tpu.models.config import AvatarConfig
 from audio_motion_avatar_tpu.ops import smplx as smplx_ops
 
-pytestmark = pytest.mark.quick
+# integration tier: the fused-vs-sequential exactness check compiles
+# two rollouts (~5 min on CPU) — far beyond the quick (<2 min) budget
+pytestmark = pytest.mark.slow
 
 
 def _build(fuse):

@@ -1,3 +1,4 @@
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -52,6 +53,7 @@ def test_deg4_runs():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_sh_color_branch_deg0_matches_rgb_path():
     """render_one(sh_degree=0) with RGB2SH-converted coefficients must equal
     the plain RGB path (the reference's rgb-vs-SH branch at deg 0,
@@ -79,6 +81,7 @@ def test_sh_color_branch_deg0_matches_rgb_path():
     np.testing.assert_allclose(img_sh, img_rgb, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sh_color_branch_deg1_view_dependent():
     """At deg>=1 the color must change with the viewing direction."""
     import jax.numpy as jnp

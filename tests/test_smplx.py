@@ -1,3 +1,4 @@
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -69,6 +70,7 @@ def test_batched_and_jit():
     assert np.abs(np.asarray(verts[0]) - np.asarray(verts[1])).max() > 1e-4
 
 
+@pytest.mark.slow
 def test_grad_flows():
     params = S.default_params((1,))
 

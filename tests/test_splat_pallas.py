@@ -188,7 +188,6 @@ def test_render_frames_pallas_matches_render_one():
     np.testing.assert_allclose(seg, batched, atol=2e-5)
 
 
-@pytest.mark.quick
 def test_two_tier_binning_matches_single_tier():
     """Two-tier binning (generous large cap) must produce IDENTICAL per-tile
     segments to the single-tier max_window sort: every gaussian spanning
@@ -210,7 +209,6 @@ def test_two_tier_binning_matches_single_tier():
         np.testing.assert_array_equal(a, b)
 
 
-@pytest.mark.quick
 def test_two_tier_binning_overflow_degrades_gracefully():
     """With a too-small large cap, overflow gaussians fall back to 2x2
     clipping: per-tile segments are SUBSETS of the single-tier ones (never

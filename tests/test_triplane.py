@@ -129,6 +129,7 @@ def _sparse_setup(num_blocks=2, C=32, R=8, B=1, cap=None, seed=0):
     return planes, dense, sparse, v, res, grid
 
 
+@pytest.mark.slow
 def test_sparse_upsampler_full_coverage_equals_dense():
     """With EVERY tile covered the sparse final level (incl. its GroupNorm
     statistics over covered-tile interiors) must reproduce the dense
@@ -156,6 +157,7 @@ def test_sparse_upsampler_full_coverage_equals_dense():
                                atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_sparse_upsampler_partial_coverage_sane():
     """Body-like cluster: sampled features must be finite, nonzero, and the
     slot map must mark uncovered tiles -1."""
@@ -176,6 +178,7 @@ def test_sparse_upsampler_partial_coverage_sane():
     assert float(jnp.abs(feats).max()) > 0
 
 
+@pytest.mark.slow
 def test_sparse_upsampler_gradients_finite():
     """Training must work through the sparse path: grads w.r.t. params and
     input planes are finite (gathers/top_k select, grads flow via values)."""
@@ -201,6 +204,7 @@ def test_sparse_upsampler_gradients_finite():
     assert float(jnp.abs(g_planes).max()) > 0
 
 
+@pytest.mark.slow
 def test_sparse_penultimate_full_coverage_equals_dense():
     """sparse_penultimate with every tile covered (both levels) must equal
     the dense upsampler: covered penultimate tiles are the exact dense
@@ -236,6 +240,7 @@ def test_sparse_penultimate_full_coverage_equals_dense():
                                atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_sparse_penultimate_partial_coverage_sane():
     """Cap-limited penultimate: finite, nonzero output; uncovered
     penultimate tiles degrade to the skip value (not garbage)."""
@@ -263,6 +268,7 @@ def test_sparse_penultimate_partial_coverage_sane():
     assert float(jnp.abs(feats).max()) > 0
 
 
+@pytest.mark.slow
 def test_slab_sampler_matches_taps():
     """The (2,2C)-slab sparse sampler (one gather per point/plane, haloed
     tiles) must match the 4-tap sampler: exactly under full coverage, and
@@ -434,6 +440,7 @@ def test_quad_rows_matches_halo_slices():
 
 
 @pytest.mark.quick
+@pytest.mark.slow
 def test_quad_rows_pallas_matches_xla():
     """The Pallas quad builder (strip-routed one-pass copy kernel) must be
     bit-identical to quad_rows, full and partial coverage, incl. the
@@ -466,6 +473,7 @@ def test_quad_rows_pallas_matches_xla():
 
 
 @pytest.mark.quick
+@pytest.mark.slow
 def test_sample_triplane_sparse_quad_full_pipeline():
     """sample_triplane_sparse_quad over a full-coverage SparseTriplanes
     equals sample_triplane_sparse (3 planes, batched)."""

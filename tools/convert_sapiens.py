@@ -129,9 +129,13 @@ def convert(sd: dict, heads: int) -> dict:
 
 
 def load_sapiens_weights(variables: dict, npz_path: str) -> dict:
-    """Overlay a converted .npz onto SapiensEncoder variables."""
+    """Overlay a converted .npz onto SapiensEncoder variables. Strips flax
+    logical-partitioning boxes (TP annotations) first — the returned tree
+    is plain arrays."""
     import flax
+    import flax.linen as nn
     import jax.numpy as jnp
+    variables = nn.meta.unbox(variables)
     flat = dict(np.load(npz_path))
     tree = flax.traverse_util.flatten_dict(variables["params"], sep="/")
     loaded = 0

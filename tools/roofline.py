@@ -38,11 +38,17 @@ HBM_PEAK = 819e9    # B/s, v5e
 
 
 def measure(fn, args, iters):
-    """Fenced ms/iter of fn(*args) with input perturbation inside one jit."""
+    """Fenced ms/iter of fn(*args) with EVERY array input perturbed by an
+    i-dependent offset inside the loop — otherwise XLA hoists work that
+    depends only on a loop-invariant arg (e.g. the sparse row's uv clipping
+    + select_tiles + tile-id sort) out of the timed fori_loop, understating
+    per-iteration time vs serving, where points change every frame."""
     @jax.jit
     def loop(*args):
         def body(i, acc):
-            out = fn(args[0] + (1e-6 * i).astype(args[0].dtype), *args[1:])
+            eps = (1e-6 * i)
+            perturbed = tuple(x + eps.astype(x.dtype) for x in args)
+            out = fn(*perturbed)
             return acc + out.mean().astype(jnp.float32)
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
 
@@ -79,9 +85,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--planes", type=int, default=18,
-                    help="serving batch: frames x 3 planes")
+                    help="serving batch: frames x 3 planes (must be "
+                         "divisible by 3 so every row benches the same "
+                         "batch)")
     ap.add_argument("--cap", type=int, default=256)
     a = ap.parse_args()
+    if a.planes % 3 != 0:
+        ap.error(f"--planes must be divisible by 3 (got {a.planes}); "
+                 "otherwise the full-module rows would silently bench a "
+                 "different batch than the per-level rows")
 
     from audio_motion_avatar_tpu.models.upsampler import (
         TriplaneUpsampler, UpsampleBlock)
@@ -92,19 +104,26 @@ def main():
     dt = jnp.bfloat16
     rows = []
 
-    # --- per dense level: UpsampleBlock + the nearest-2x skip add, exactly
-    # as the module composes them (upconv dilated, affine norm) ---
+    # --- per dense level: UpsampleBlock + the skip path. The module's skip
+    # is a skip_proj 1x1 conv of the input at level 0, then a nearest-2x of
+    # a running buffer at deeper levels (upsampler.py); the up_0 row
+    # includes that 1x1 conv in BOTH measure and cost, deeper rows
+    # approximate the running buffer with a nearest-2x of the input
+    # (same shape/traffic, no extra FLOPs). ---
+    import flax.linen as nn
     for i, res in enumerate((32, 64, 128)):
         x = jnp.asarray(rng.randn(a.planes, res, res, 256)
                         .astype(np.float32)).astype(dt)
         blk = UpsampleBlock(256, dtype=dt, upconv="dilated",
                             norm_mode="affine")
         v = blk.init(jax.random.PRNGKey(i), x[:1])
+        proj = nn.Conv(256, (1, 1), dtype=dt)
+        vp = proj.init(jax.random.PRNGKey(100 + i), x[:1]) if i == 0 else None
 
-        def level(xx, v=v, blk=blk):
+        def level(xx, v=v, blk=blk, vp=vp):
             up = blk.apply(v, xx)
-            # skip: nearest-2x of the input, added (running-buffer shape)
-            skip = jnp.repeat(jnp.repeat(xx, 2, 1), 2, 2)
+            s = proj.apply(vp, xx) if vp is not None else xx
+            skip = jnp.repeat(jnp.repeat(s, 2, 1), 2, 2)
             return up + skip
 
         ms = measure(level, (x,), a.iters)
