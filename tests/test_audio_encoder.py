@@ -15,6 +15,7 @@ def test_features_per_video_frame_shapes():
     assert np.isfinite(feats).all()
 
 
+@pytest.mark.slow
 def test_features_depend_on_audio():
     ex = AudioFeatureExtractor(model_path=None, dim=768)
     t = np.arange(SAMPLE_RATE) / SAMPLE_RATE

@@ -91,6 +91,7 @@ def _import_params(m, flax_init):
     return merged
 
 
+@pytest.mark.slow
 def test_upsampler_forward_agreement():
     m = _randomized_oracle()
     tri = torch.randn(1, 3, C, 4, 4)
@@ -108,6 +109,7 @@ def test_upsampler_forward_agreement():
     np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_upsampler_affine_sparse_matches_dense():
     """In affine mode the sparse final level has NO statistics deviation:
     covered tiles must equal the dense output exactly."""

@@ -1,3 +1,4 @@
+import pytest
 """Sapiens converter: synthetic torchscript-style state dict -> our ViT tree."""
 import sys, os
 import numpy as np
@@ -37,6 +38,7 @@ def make_torch_style_sd(depth=2, width=32, heads=2, patch=8, res=32):
     return sd
 
 
+@pytest.mark.slow
 def test_convert_covers_module_tree(tmp_path):
     import flax
     sd = make_torch_style_sd()

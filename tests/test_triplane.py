@@ -316,6 +316,7 @@ def test_slab_sampler_matches_taps():
                                atol=1e-6)
 
 
+@pytest.mark.slow
 def test_dilated_upconv_twin_matches_poly():
     """The 'dilated' upconv impl (input-dilated conv, derived 4x4 kernel)
     must equal the polyphase impl exactly — same params, dense AND sparse
@@ -355,7 +356,7 @@ def test_dilated_upconv_twin_matches_poly():
                                atol=3e-5, rtol=1e-4)
 
 
-@pytest.mark.quick
+@pytest.mark.slow
 def test_quad_sampler_matches_taps():
     """The quad-row sparse sampler (ONE gather per point/plane) must match
     the 4-tap sampler: exactly under full coverage, and on every
@@ -439,7 +440,6 @@ def test_quad_rows_matches_halo_slices():
         np.asarray(via_halo(tiles2, slot2, grid)))
 
 
-@pytest.mark.quick
 @pytest.mark.slow
 def test_quad_rows_pallas_matches_xla():
     """The Pallas quad builder (strip-routed one-pass copy kernel) must be
@@ -472,7 +472,6 @@ def test_quad_rows_pallas_matches_xla():
                                   np.asarray(want, np.float32))
 
 
-@pytest.mark.quick
 @pytest.mark.slow
 def test_sample_triplane_sparse_quad_full_pipeline():
     """sample_triplane_sparse_quad over a full-coverage SparseTriplanes
