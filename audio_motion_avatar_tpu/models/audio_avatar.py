@@ -62,6 +62,7 @@ class AudioDrivenAvatar(nn.Module):
                            else None),
             remat=c.audio_transformer_remat,
             attn_impl=c.audio_attn_impl,
+            gelu_approx=c.gelu_approx,
             name="audio_triplane")
 
     def __call__(self, statics: RendererStatics,

@@ -102,6 +102,7 @@ class AudioTriplaneNet(nn.Module):
     # even with no backward pass (same finding as the renderer frame scan).
     remat: bool = True
     attn_impl: str = "flash"   # 'flash' | 'splash' (see models.transformer)
+    gelu_approx: bool = False  # serving knob, see models/config.py
 
     @nn.compact
     def __call__(self, audio_features: jnp.ndarray,
@@ -133,6 +134,7 @@ class AudioTriplaneNet(nn.Module):
             final_tail=S_tri + L,
             remat=self.remat,
             flash_impl=self.attn_impl,
+            gelu_approx=self.gelu_approx,
             name="transformer")
 
         tri_motion = tri_reducer(triplane_tokens)      # (B, C, S_tri)

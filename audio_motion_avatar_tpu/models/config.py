@@ -114,6 +114,13 @@ class AvatarConfig:
     # (differentiable — training) or 'splash' (forward-only, ~5% faster at
     # B=2 S=6304; serving).
     audio_attn_impl: str = "flash"
+    # Serving knob: tanh-approximate GELU in the PTv3 refiner MLPs and the
+    # audio transformer's GEGLU FF. Default False = exact erf (torch
+    # nn.GELU / diffusers F.gelu — weight-import numerics). erf costs
+    # ~1.7x the surrounding matmuls on the VPU at serving N
+    # (tools/refiner_probe 2026-08-19: 11.65 ms erf vs 7.23 tanh vs 6.78
+    # identity on a (369k, 1024) MLP pair).
+    gelu_approx: bool = False
     # demo: consecutive chunks fused into one program (in-graph window
     # slide — exact; amortizes per-dispatch cost). 1 = reference-shaped
     # one-chunk dispatches.

@@ -210,6 +210,11 @@ class SerialBlock(nn.Module):
     heads: int
     patch_size: int
     dtype: Optional[jnp.dtype] = None  # matmul compute dtype (params fp32)
+    # Serving knob: tanh gelu. Exact erf (torch nn.GELU default,
+    # pointtransformer_v3.py:515) stays the default for weight-import
+    # parity; erf costs ~1.7x the MLP matmuls' time on the VPU at serving
+    # N (tools/refiner_probe 2026-08-19).
+    gelu_approx: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -234,9 +239,10 @@ class SerialBlock(nn.Module):
         # Megatron MLP pair: hidden sharded over 'model' via 'mlp'
         h = _dense(self.dim * 4, ("embed", "mlp"), dtype=self.dtype,
                    name="mlp1")(h)
-        # exact erf GELU: torch nn.GELU default (pointtransformer_v3.py:515)
-        # — flax's tanh approximation breaks weight-import parity
-        h = nn.gelu(h, approximate=False)
+        # exact erf GELU by default (torch nn.GELU,
+        # pointtransformer_v3.py:515 — weight-import parity); tanh knob for
+        # serving (see field doc)
+        h = nn.gelu(h, approximate=self.gelu_approx)
         h = _dense(self.dim, ("mlp", "embed"), dtype=self.dtype,
                    name="mlp2")(h)
         return x + h * mask[:, None]
@@ -256,6 +262,7 @@ class PTv3Encoder(nn.Module):
     patch_size: int = 512
     grid_resolution: float = 100.0
     dtype: Optional[jnp.dtype] = None
+    gelu_approx: bool = False  # see SerialBlock
 
     @nn.compact
     def __call__(self, points: jnp.ndarray, feats: jnp.ndarray) -> jnp.ndarray:
@@ -309,6 +316,7 @@ class PTv3Encoder(nn.Module):
                 # refiner's 74 gathers/rollout, xprof).
                 x = SerialBlock(dim, heads, self.patch_size,
                                 dtype=self.dtype,
+                                gelu_approx=self.gelu_approx,
                                 name=f"{prefix}_b{b}")(x, mask)
             if cur_perm is not None:
                 x = x[cur_inv]
@@ -406,6 +414,7 @@ class PointRefiner(nn.Module):
     patch_size: int = 512
     grid_resolution: float = 100.0
     dtype: Optional[jnp.dtype] = None
+    gelu_approx: bool = False  # see SerialBlock
 
     @nn.compact
     def __call__(self, points: jnp.ndarray, feats: jnp.ndarray) -> jnp.ndarray:
@@ -421,7 +430,7 @@ class PointRefiner(nn.Module):
             enc_heads=self.enc_heads, dec_channels=self.dec_channels,
             dec_depths=self.dec_depths, dec_heads=self.dec_heads,
             patch_size=self.patch_size, grid_resolution=self.grid_resolution,
-            dtype=self.dtype,
+            dtype=self.dtype, gelu_approx=self.gelu_approx,
             name="unet")(points, feats)
 
 
@@ -439,4 +448,5 @@ def build_point_refiner(cfg) -> PointRefiner:
         grid_resolution=float(cfg.ptv3_grid_resolution),
         dtype=(jnp.bfloat16 if getattr(cfg, "compute_dtype", None) ==
                "bfloat16" else None),
+        gelu_approx=bool(getattr(cfg, "gelu_approx", False)),
     )

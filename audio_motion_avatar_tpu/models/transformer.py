@@ -301,15 +301,19 @@ class GEGLUFeedForward(nn.Module):
     dim: int
     mult: int = 4
     dtype: Optional[Dtype] = None
+    # Serving knob: tanh-approximate gelu. Exact erf is the torch-import
+    # default (diffusers GEGLU uses F.gelu, reference transformers.py:505
+    # -527), but erf is ~2.4x the VPU cost of the whole MLP's matmuls at
+    # serving scale (tools/refiner_probe 2026-08-19: 11.65 ms erf vs 7.23
+    # tanh vs 6.78 identity on a (369k,1024) pair). Identical param tree.
+    gelu_approx: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         inner = self.dim * self.mult
         h = _dense(inner * 2, ("embed", "mlp"), name="wi", dtype=self.dtype)(x)
         h, gate = jnp.split(h, 2, axis=-1)
-        # exact erf gelu: diffusers GEGLU uses F.gelu (reference
-        # transformers.py:505-527) — torch-import numerics
-        h = h * nn.gelu(gate, approximate=False)
+        h = h * nn.gelu(gate, approximate=self.gelu_approx)
         return _dense(self.dim, ("mlp", "embed"), name="wo", dtype=self.dtype)(h)
 
 
@@ -328,6 +332,7 @@ class TransformerBlock(nn.Module):
     # Exact for callers that discard the head of the final layer's output —
     # the audio rollout reads only its trailing S_tri+L tokens each AR step.
     q_tail: Optional[int] = None
+    gelu_approx: bool = False  # see GEGLUFeedForward
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None) -> jnp.ndarray:
@@ -345,7 +350,9 @@ class TransformerBlock(nn.Module):
                               context_dim=self.context_dim,
                               dtype=self.dtype, name="attn2")(h, context)
         h = nn.LayerNorm(name="norm3", dtype=self.dtype)(x)
-        return x + GEGLUFeedForward(self.dim, dtype=self.dtype, name="ff")(h)
+        return x + GEGLUFeedForward(self.dim, dtype=self.dtype,
+                                    gelu_approx=self.gelu_approx,
+                                    name="ff")(h)
 
 
 class Transformer1D(nn.Module):
@@ -371,6 +378,7 @@ class Transformer1D(nn.Module):
     # the leading positions (the audio AR rollout keeps only its trailing
     # S_tri+L tokens, models/audio_net.py).
     final_tail: Optional[int] = None
+    gelu_approx: bool = False  # see GEGLUFeedForward
 
     @nn.compact
     def __call__(self, tokens: jnp.ndarray,
@@ -392,7 +400,7 @@ class Transformer1D(nn.Module):
             h = block_cls(self.heads * self.head_dim, self.heads, self.head_dim,
                           context_dim=self.context_dim, dtype=self.dtype,
                           use_flash=self.use_flash, flash_impl=self.flash_impl,
-                          q_tail=tail,
+                          q_tail=tail, gelu_approx=self.gelu_approx,
                           name=f"block_{i}")(h, context)
 
         h = _dense(self.in_channels, ("embed_inner", "embed"),

@@ -94,7 +94,9 @@ def test_converter_forward_agreement():
     vit = VisionTransformer(width=D, depth=DEPTH, heads=HEADS, patch=PATCH,
                             resolution=RES)
     x = jnp.asarray(img.numpy())
-    vars0 = vit.init(jax.random.PRNGKey(0), x)
+    import flax.linen as nn
+    # unbox: the ViT kernels carry TP logical-axis metadata
+    vars0 = nn.meta.unbox(vit.init(jax.random.PRNGKey(0), x))
     tree = flax.traverse_util.flatten_dict(vars0["params"], sep="/")
     n_loaded = 0
     for k, v in flat.items():

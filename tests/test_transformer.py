@@ -167,3 +167,25 @@ def test_flash_pad_block_plan():
     for s in (6304, 3152, 4096, 512, 1024, 1664, 100, 129, 7777):
         sp, b = Attention._pad_block(s)
         assert sp >= s and sp % 128 == 0 and sp % b == 0 and b % 128 == 0
+
+
+def test_gelu_approx_knob_same_params():
+    """gelu_approx=True (serving knob) keeps the exact param tree and
+    changes outputs only by the tanh-vs-erf gelu approximation error."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from audio_motion_avatar_tpu.models.transformer import Transformer1D
+
+    kw = dict(num_layers=1, heads=2, head_dim=8, in_channels=32,
+              norm_num_groups=4)
+    a = Transformer1D(**kw)
+    b = Transformer1D(**kw, gelu_approx=True)
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 32, 24), jnp.float32)
+    va = a.init(jax.random.PRNGKey(0), x)
+    assert (jax.tree_util.tree_structure(va)
+            == jax.tree_util.tree_structure(b.init(jax.random.PRNGKey(0), x)))
+    oa = a.apply(va, x)
+    ob = b.apply(va, x)
+    d = float(jnp.abs(oa - ob).max())
+    assert 0 < d < 5e-2, d
