@@ -42,39 +42,51 @@ def full_cost(fn, args):
 
 
 def measure_exp_rate(iters=8):
-    """Empirical VPU exp throughput (elements/s) on a serving-sized bf16
-    tensor — the denominator for softmax floors."""
+    """MARGINAL exp throughput (elements/s): exp-pass time minus a
+    same-shape mul-pass time, so the HBM traffic both pay cancels and what
+    remains approximates the extra VPU work of exp. Still an upper bound
+    on fused-kernel exp cost (VMEM-resident operands overlap better)."""
     x = jnp.asarray(np.random.RandomState(0).randn(16, 1280, 1280)
                     .astype(np.float32)).astype(jnp.bfloat16)
     n = x.size
 
-    @jax.jit
-    def loop(x):
-        def body(i, acc):
-            return acc + jnp.exp(x + (1e-6 * i).astype(x.dtype)).mean() \
-                .astype(jnp.float32)
-        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+    def timed(op):
+        @jax.jit
+        def loop(x):
+            def body(i, acc):
+                return acc + op(x + (1e-6 * i).astype(x.dtype)).mean() \
+                    .astype(jnp.float32)
+            return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+        float(loop(x))
+        t0 = time.time()
+        float(loop(x))
+        return (time.time() - t0) / iters
 
-    float(loop(x))
-    t0 = time.time()
-    float(loop(x))
-    dt = (time.time() - t0) / iters
-    # the mean-reduce rides along; exp dominates, treat as pure exp time
+    dt = max(timed(jnp.exp) - timed(lambda t: t * 1.0001), 1e-9)
     return n / dt
 
 
 def row(name, ms, fl, by, tr, exp_rate):
     t_mxu = fl / MXU_PEAK * 1e3
     t_hbm = by / HBM_PEAK * 1e3
-    t_vpu = (tr / exp_rate * 1e3) if exp_rate else 0.0
-    floor = max(t_mxu, t_hbm, t_vpu)
-    bound = {t_mxu: "compute", t_hbm: "memory", t_vpu: "vpu-exp"}[floor]
+    # NB: the MXU/HBM max is the only defensible FLOOR. A transcendental
+    # "floor" from a standalone-exp measurement is wrong by construction:
+    # tools/vpu_probe shows standalone elementwise ops are HBM-BOUND on
+    # this chip (mul 1.62 ms vs exp 2.55 ms on the same 41M-elem block —
+    # only 1.6x apart), so that rate reflects memory traffic the fused
+    # kernel never pays; inside a flash kernel the operand lives in VMEM
+    # and exp runs at the true VPU rate, which this probe cannot see.
+    # Transcendental counts are reported as context, with an upper-bound
+    # cost at the measured exp-minus-mul marginal rate.
+    floor = max(t_mxu, t_hbm)
+    bound = "compute" if t_mxu >= t_hbm else "memory"
+    t_vpu_ub = (tr / exp_rate * 1e3) if exp_rate else 0.0
     r = {"component": name, "ms": round(ms, 2),
          "gflop": round(fl / 1e9, 1), "gbytes": round(by / 1e9, 2),
          "g_transc": round(tr / 1e9, 2),
          "floor_ms": round(floor, 2), "bound": bound,
          "mxu_ms": round(t_mxu, 2), "hbm_ms": round(t_hbm, 2),
-         "vpu_ms": round(t_vpu, 2),
+         "vpu_exp_upper_bound_ms": round(t_vpu_ub, 2),
          "attainment_pct": round(100.0 * floor / ms, 1) if ms else 0.0}
     print(json.dumps(r), flush=True)
     return r
