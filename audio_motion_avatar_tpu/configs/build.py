@@ -7,6 +7,24 @@ from ..training.train_state import OptimConfig
 from .loader import Config, ConfigLoader
 
 
+def _model_level_overrides(ac: AvatarConfig, cfg: Config) -> AvatarConfig:
+    """Overlay scalar keys set DIRECTLY under `model:` whose names are
+    AvatarConfig fields (e.g. `model.demo_fuse_chunks=2`,
+    `model.gelu_approx=true` from the CLI). Without this, such overrides
+    were silently dropped — found because the fused-chunk golden test was
+    running unfused on both sides (ROUND4)."""
+    import dataclasses
+    m = cfg.get("model") or {}
+    names = {f.name for f in dataclasses.fields(AvatarConfig)}
+    try:
+        items = dict(m)
+    except Exception:
+        return ac
+    over = {k: v for k, v in items.items()
+            if k in names and not isinstance(v, (dict, type(cfg)))}
+    return dataclasses.replace(ac, **over) if over else ac
+
+
 def build_avatar_config(cfg: Config) -> AvatarConfig:
     """Map the merged YAML tree onto the static AvatarConfig dataclass."""
     if cfg.get("profile") == "tiny":
@@ -36,7 +54,8 @@ def build_avatar_config(cfg: Config) -> AvatarConfig:
             over["audio_transformer_remat"] = an["transformer_remat"]
         if "attn_impl" in an:
             over["audio_attn_impl"] = an["attn_impl"]
-        return dataclasses.replace(base, **over) if over else base
+        base = dataclasses.replace(base, **over) if over else base
+        return _model_level_overrides(base, cfg)
 
     m = cfg.model
     tn = m.triplane_net
@@ -44,7 +63,7 @@ def build_avatar_config(cfg: Config) -> AvatarConfig:
     se = m.sapiens_encoder
     an = m.get("triplane_audio_net", {})
     ds = cfg.dataset
-    return AvatarConfig(
+    ac = AvatarConfig(
         triplane_resolution=tn.triplane_resolution,
         triplane_feature_dim=tn.triplane_feature_dim,
         radius=tn.radius,
@@ -112,6 +131,7 @@ def build_avatar_config(cfg: Config) -> AvatarConfig:
         ptv3_grid_resolution=m.ptv3_encoder.grid_resolution,
         ptv3_output_dim=m.ptv3_encoder.output_dim,
     )
+    return _model_level_overrides(ac, cfg)
 
 
 # Serving profile: the bench-measured fast-inference knobs (BASELINE.md
@@ -137,6 +157,19 @@ SERVING_PROFILE = {
     # two-tier splat binning (exact while <= large_cap gaussians exceed the
     # window): 18.09 vs 17.41 fps on the r3 prod sweep (2026-08-18)
     "splat_large_cap": 2048,
+    # one-pass Pallas quad-row builder (bit-exact vs the XLA build):
+    # 20.25 vs 19.38 fps on the r4 sweep (2026-08-19)
+    "quad_builder": "pallas",
+}
+
+# Model-LEVEL serving keys (cfg.model.<key>, not model.renderer.<key>)
+SERVING_PROFILE_MODEL = {
+    # tanh gelu in the PTv3 refiner MLPs + audio GEGLU: 21.56 vs 20.32 fps
+    # (r4 sweep); quality-cleared by the production parity gate
+    # (tests/test_demo_golden.py::test_demo_gelu_tanh_within_parity_budget:
+    # frames within mean|diff| <= 1e-2 / PSNR >= 40 dB of the exact-erf
+    # golden). Set model.gelu_approx=false for bit-level erf parity runs.
+    "gelu_approx": True,
 }
 
 
@@ -144,8 +177,11 @@ def apply_serving_profile(ac: AvatarConfig, cfg: Config) -> AvatarConfig:
     """Overlay SERVING_PROFILE onto `ac` for inference-only entrypoints
     (demo/predict), skipping keys the YAML sets explicitly."""
     import dataclasses
-    rd = cfg.get("model", {}).get("renderer", {}) if cfg.get("model") else {}
+    m = cfg.get("model") or {}
+    rd = m.get("renderer", {}) if m else {}
     over = {k: v for k, v in SERVING_PROFILE.items() if k not in rd}
+    over.update({k: v for k, v in SERVING_PROFILE_MODEL.items()
+                 if k not in m})
     # audio transformer remat is a training knob too
     an = cfg.get("model", {}).get("triplane_audio_net", {}) \
         if cfg.get("model") else {}

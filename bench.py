@@ -57,11 +57,15 @@ def e2e_serving():
     # 20.25 vs 19.38 fps on the r4 shared-init sweep, bit-exact vs the XLA
     # build. fuse_chunks=2: two demo chunks in one program (in-graph window
     # slide, exactness pinned by tests/test_serve_fuse.py) — 20.55 fps.
+    # gelu_approx: tanh gelu in the refiner MLPs + audio GEGLU — 21.56 vs
+    # 20.32 fps (r4 sweep); quality-cleared by the production parity gate
+    # (golden-frame test: within mean|diff| <= 1e-2 / PSNR >= 40 dB of the
+    # exact-erf reference frames).
     res = run(batch=2, frames_per_chunk=6, ablate="none", reps=3,
               image_size=(512, 512), sparse=True, sparse_cap=256,
               sample_quad=True, upconv="dilated", splat_large_cap=2048,
               upsampler_norm="affine", fuse_chunks=2,
-              quad_builder="pallas")
+              quad_builder="pallas", gelu_approx=True)
     return {
         "metric": "e2e_audio_to_512px_avatar",
         "value": round(res["fps"], 2),

@@ -64,3 +64,19 @@ def test_demo_fused_chunks_matches_golden(tmp_path):
     assert frames.is_dir() and any(frames.iterdir())
     r = compare(str(frames), str(GOLDEN))
     assert r["pass"], r
+
+
+def test_demo_gelu_tanh_within_parity_budget(tmp_path):
+    """The gelu_approx serving knob (tanh instead of exact erf in the PTv3
+    refiner MLPs + audio GEGLU — ~36 ms/rollout on v5e, BASELINE.md r4)
+    must keep demo frames within the SAME production parity gate
+    (mean|diff| <= 1e-2, PSNR >= 40 dB) vs the erf golden. This is the
+    quality clearance for making tanh the serving default."""
+    if not GOLDEN.exists():
+        pytest.skip("golden fixture missing")
+    out = str(tmp_path / "parity_gelu")
+    run_ours(CONFIG, None, out, None, overrides=["model.gelu_approx=true"])
+    frames = Path(out) / "demo_outputs" / "frames"
+    assert frames.is_dir() and any(frames.iterdir())
+    r = compare(str(frames), str(GOLDEN))
+    assert r["pass"], r

@@ -75,8 +75,8 @@ def main():
     K = jnp.asarray(ref.cam_parms["intrinsic"])[0, 0]
     E = jnp.asarray(ref.cam_parms["extrinsic"])[0, 0]
     cam = make_camera(K, E, a.image_size, a.image_size)
-    v_cam = (verts[0] @ np.asarray(cam.world2view)[:3, :3].T
-             + np.asarray(cam.world2view)[:3, 3])
+    v_cam = (verts[0] @ np.asarray(cam.view)[:3, :3].T
+             + np.asarray(cam.view)[:3, 3])
     stats("gt_verts_cam_z", v_cam[..., 2])
 
     jx = lambda b: jax.tree_util.tree_map(jnp.asarray, b)  # noqa: E731
@@ -103,8 +103,8 @@ def main():
         splat.activate_opacity(jnp.asarray(g["opacity"]))))
     # screen-space: project the predicted gaussian centers
     xyz = np.asarray(g["xyz"], np.float32).reshape(-1, 3)
-    pc = xyz @ np.asarray(cam.world2view)[:3, :3].T + \
-        np.asarray(cam.world2view)[:3, 3]
+    pc = xyz @ np.asarray(cam.view)[:3, :3].T + \
+        np.asarray(cam.view)[:3, 3]
     stats("gauss_cam_z", pc[..., 2])
     uv = pc[:, :2] / np.maximum(pc[:, 2:3], 1e-6) * float(np.asarray(K)[0, 0])
     uv = uv + np.asarray([float(K[0, 2]), float(K[1, 2])])
