@@ -101,7 +101,7 @@ class AudioTriplaneNet(nn.Module):
     # (forward-only) turns it off — remat barriers hurt XLA scheduling
     # even with no backward pass (same finding as the renderer frame scan).
     remat: bool = True
-    attn_impl: str = "flash"   # 'flash' | 'splash' (see models.transformer)
+    attn_impl: str = "flash"   # 'flash'|'flash2'|'splash' (models.transformer)
     gelu_approx: bool = False  # serving knob, see models/config.py
 
     @nn.compact

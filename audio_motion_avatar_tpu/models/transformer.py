@@ -128,10 +128,12 @@ class Attention(nn.Module):
     # materialized = 4.11 ms per layer. Opt-in per call site.
     use_flash: bool = False
     # Pallas kernel choice when use_flash: 'flash' (jax flash_attention,
-    # differentiable — training path), 'splash' (splash-attention MHA,
-    # forward-only serving; measured 4.55 vs 4.79 ms/layer at B=2 S=6304,
-    # tools/attn_probe.py), or 'serve' (ops/serve_attention.py — K/V
-    # resident in VMEM, single-pass exact softmax, forward-only).
+    # differentiable — training path), 'flash2' (ops/flash2.py base-2
+    # softmax fork of the same kernel, forward-only serving), 'splash'
+    # (splash-attention MHA, forward-only serving; measured 4.55 vs 4.79
+    # ms/layer at B=2 S=6304, tools/attn_probe.py), or 'serve'
+    # (ops/serve_attention.py — K/V resident in VMEM, single-pass exact
+    # softmax, forward-only).
     flash_impl: str = "flash"
     # Compute only the last q_tail query positions (keys/values full).
     q_tail: Optional[int] = None
@@ -180,7 +182,8 @@ class Attention(nn.Module):
                     and jax.default_backend() == "tpu")
         if flash_ok:
             impl = {"splash": self._splash,
-                    "serve": self._serve}.get(self.flash_impl, self._flash)
+                    "serve": self._serve,
+                    "flash2": self._flash2}.get(self.flash_impl, self._flash)
             out = impl(q, k, v, scale)
         else:
             logits = jnp.einsum("bhsd,bhtd->bhst", q, k) * scale
@@ -216,10 +219,22 @@ class Attention(nn.Module):
         return Sp, 512
 
     @staticmethod
-    def _flash(q, k, v, scale):
+    def _flash2(q, k, v, scale):
+        """Base-2 softmax flash (ops/flash2.py): stock kernel with exp->exp2
+        and log2(e) folded into the query scale — mathematically identical,
+        ~25% cheaper VPU transcendental. FORWARD-ONLY (serving); training
+        keeps `flash` (the clone's backward assumes natural exp)."""
+        from ..ops.flash2 import fold_scale_base2, get_exp2_module
+
+        return Attention._flash(fold_scale_base2(q, scale), k, v, 1.0,
+                                fa=get_exp2_module())
+
+    @staticmethod
+    def _flash(q, k, v, scale, fa=None):
         """(B, H, S, D) -> (B, H, S, D) via the Pallas TPU kernel; pads the
         sequence to a 128 multiple with segment-id masking."""
-        from jax.experimental.pallas.ops.tpu import flash_attention as fa
+        if fa is None:
+            from jax.experimental.pallas.ops.tpu import flash_attention as fa
 
         B, H, S, D = q.shape
         Skv = k.shape[2]

@@ -98,6 +98,31 @@ def flash_seg(block_q, block_k, Sp, q, k, v):
     return out.transpose(0, 2, 1, 3)[:, :S]
 
 
+def flash_seg2(block_q, block_k, Sp, q, k, v):
+    """flash_seg with the base-2 softmax fork (ops/flash2.py): stock
+    kernel clone with exp->exp2, log2(e) folded into the query scale."""
+    from audio_motion_avatar_tpu.ops.flash2 import (fold_scale_base2,
+                                                    get_exp2_module)
+    fa = get_exp2_module()
+    B, S, H, D = q.shape
+    pad = Sp - S
+
+    def p(t):
+        return jnp.pad(t, ((0, 0), (0, pad), (0, 0), (0, 0)))
+
+    qh = fold_scale_base2(p(q).transpose(0, 2, 1, 3), D ** -0.5)
+    kh = p(k).transpose(0, 2, 1, 3)
+    vh = p(v).transpose(0, 2, 1, 3)
+    seg = jnp.where(jnp.arange(Sp) < S, 1, 2).astype(jnp.int32)
+    seg = jnp.broadcast_to(seg[None], (B, Sp))
+    bs = fa.BlockSizes(block_q=block_q, block_k_major=block_k,
+                       block_k=block_k, block_b=1)
+    out = fa.flash_attention(qh, kh, vh,
+                             segment_ids=fa.SegmentIds(q=seg, kv=seg),
+                             sm_scale=1.0, block_sizes=bs)
+    return out.transpose(0, 2, 1, 3)[:, :S]
+
+
 def splash_attn(block_q, block_kv, q, k, v):
     """splash-attention kernel (newer v5e-tuned Pallas MHA)."""
     from jax.experimental.pallas.ops.tpu.splash_attention import (
@@ -138,6 +163,8 @@ def main():
     ap.add_argument("--heads", type=int, default=8)
     ap.add_argument("--dim", type=int, default=64)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--exp2-only", action="store_true",
+                    help="only the production pad plan, stock vs exp2 fork")
     a = ap.parse_args()
 
     rng = np.random.RandomState(0)
@@ -145,6 +172,25 @@ def main():
     q = jnp.asarray(rng.randn(*shape), jnp.bfloat16)
     k = jnp.asarray(rng.randn(*shape), jnp.bfloat16)
     v = jnp.asarray(rng.randn(*shape), jnp.bfloat16)
+
+    if a.exp2_only:
+        Sp = ((a.seq + 127) // 128) * 128
+        blocks = [b for b in range(1280, 127, -128) if Sp % b == 0][:2]
+        # numeric sanity at the real shape before timing
+        b0 = blocks[0]
+        ref = np.asarray(flash_seg(b0, b0, Sp, q, k, v), np.float32)
+        got = np.asarray(flash_seg2(b0, b0, Sp, q, k, v), np.float32)
+        print(json.dumps({"impl": f"exp2_maxdiff_q{b0}",
+                          "maxdiff": float(np.abs(ref - got).max())}),
+              flush=True)
+        for bq in blocks:
+            for name, fn in ((f"flashseg_q{bq}_k{bq}", flash_seg),
+                             (f"flash2seg_q{bq}_k{bq}", flash_seg2)):
+                ms = time_fn(functools.partial(fn, bq, bq, Sp), q, k, v,
+                             a.iters)
+                print(json.dumps({"impl": name, "ms": round(ms, 3)}),
+                      flush=True)
+        return
 
     results = {}
     results["xla_bf16"] = time_fn(xla_attn, q, k, v, a.iters)
