@@ -27,6 +27,14 @@ class OptimConfig:
     weight_decay: float = 0.0
     grad_clip: float = 1.0
     accumulate_steps: int = 1
+    # Linear LR warmup over the first N steps (0 = reference-faithful: the
+    # reference's LinearLR starts at full lr, train_stage1.yaml scheduler).
+    # The zero-init gaussian-attribute heads sit on large un-normalized
+    # triplane features, so a full-lr first Adam step moves their logits by
+    # O(lr * sum|feat|) coherently — measured slamming the opacity logit
+    # past sigmoid saturation in ONE step at lr 2e-4 (all-white render,
+    # dead photometric gradient; tools/overfit_debug.py 2026-08-19).
+    warmup_steps: int = 0
     # Failure containment the reference lacks (SURVEY §5 "no sanitizers"):
     # skip updates whose grads are non-finite instead of poisoning params.
     nan_guard: bool = True
@@ -34,11 +42,18 @@ class OptimConfig:
 
 
 def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
-    schedule = optax.linear_schedule(
+    decay = optax.linear_schedule(
         init_value=cfg.learning_rate,
         end_value=cfg.learning_rate * cfg.end_factor,
-        transition_steps=cfg.total_steps,
+        transition_steps=cfg.total_steps - cfg.warmup_steps,
     )
+    if cfg.warmup_steps > 0:
+        schedule = optax.join_schedules(
+            [optax.linear_schedule(0.0, cfg.learning_rate,
+                                   cfg.warmup_steps), decay],
+            boundaries=[cfg.warmup_steps])
+    else:
+        schedule = decay
     chain = [optax.clip_by_global_norm(cfg.grad_clip)]
     if cfg.weight_decay > 0:
         chain.append(optax.adamw(schedule, b1=cfg.betas[0], b2=cfg.betas[1],

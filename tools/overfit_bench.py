@@ -43,15 +43,15 @@ def build_subject_batches(smplx_model, image_size, n_test=4, seed=0):
                                                         random_smpl_params)
 
     rng = np.random.RandomState(seed)
-    # NEUTRAL pose: the model's zero-init SMPLX heads predict ~neutral, so
-    # the initial gaussian anchors overlap the GT body and the photometric
-    # gradient is live from step 0. With a randomly-posed GT (pose_scale
-    # 0.15) the anchors miss the GT silhouette and the white background
-    # dominates the L1 — the model collapses to an all-white render
-    # (observed: psnr pinned at 12.31 for 300 steps, renders std -> 0,
-    # 2026-08-19 run). The reference avoids this with a pretrained encoder
-    # + real data; the overfit bench's job is to show the train loop +
-    # renderer gradients converge, so start from the live-gradient regime.
+    # NEUTRAL pose: during training the renderer poses anchors from the GT
+    # params (renderer.py:120-123 semantics — pred smplx only feeds the
+    # 0.01 loss), and neutral keeps the silhouette maximally simple. Note
+    # the earlier all-white collapses (psnr pinned 12.31 posed / 12.18
+    # neutral) were NOT an anchor-overlap problem: tools/overfit_debug
+    # showed a healthy 0.17-coverage init render; the first full-lr Adam
+    # step saturated the zero-init opacity head (see OptimConfig.
+    # warmup_steps) against a white-ambiguous target (see the dark GT
+    # palette in render_gt).
     one = random_smpl_params(rng, (1, 1), pose_scale=0.0)
 
     def tile(params, T):
@@ -92,8 +92,15 @@ def render_gt(smplx_model, batch, image_size, flat_hand_mean=True):
     verts = verts.reshape(B, T, -1, 3)
     N = verts.shape[2]
     v0 = verts[0, 0]
-    colors = 0.5 + 0.45 * jnp.sin(v0 * jnp.asarray([9.0, 7.0, 11.0]) +
-                                  jnp.asarray([0.0, 2.1, 4.2]))
+    # DARK palette (range ~[0.04, 0.6], mean ~0.32): with body colors
+    # centered on the init render's 0.5 gray over a white background, the
+    # pixelwise L1 optimum at init is ambiguous between "match the body"
+    # and "fade to white" — observed collapse to all-white (opacity logit
+    # saturated, photometric gradient dead, tools/overfit_debug.py). Far-
+    # from-white GT makes visibility strictly loss-reducing on every body
+    # pixel, so the overfit target is gradient-identifiable by construction.
+    colors = 0.32 + 0.28 * jnp.sin(v0 * jnp.asarray([9.0, 7.0, 11.0]) +
+                                   jnp.asarray([0.0, 2.1, 4.2]))
     gaussians = {
         "xyz": verts,
         "rot": jnp.broadcast_to(jnp.asarray([1.0, 0, 0, 0]), (B, T, N, 4)),
@@ -112,7 +119,11 @@ def main():
     ap.add_argument("--steps", type=int, default=400)
     ap.add_argument("--eval-every", type=int, default=20)
     ap.add_argument("--image-size", type=int, default=512)
-    ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--warmup", type=int, default=100,
+                    help="linear LR warmup steps (see OptimConfig.warmup_"
+                         "steps — full-lr first steps saturate the zero-"
+                         "init opacity head)")
     ap.add_argument("--dump-dir", default=None,
                     help="save GT + periodic renders as PNGs")
     args = ap.parse_args()
@@ -153,7 +164,8 @@ def main():
                            ref.smpl_parms, ref.cam_parms)
     params = unbox(variables)["params"]
     tx = make_optimizer(OptimConfig(learning_rate=args.lr,
-                                    total_steps=args.steps, grad_clip=1.0))
+                                    total_steps=args.steps, grad_clip=1.0,
+                                    warmup_steps=args.warmup))
     state = TrainState.create(params, tx)
     step = stage1.make_train_step(model, statics, cfg)
     render = stage1.make_render_fn(model, statics)
