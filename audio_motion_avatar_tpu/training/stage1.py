@@ -59,6 +59,21 @@ def stage1_loss(model, params, statics, ref_batch, test_batch, cfg):
         loss_test = l1_test + 0.1 * ssim_test
         metrics.update(l1_test=l1_test, ssim_test=ssim_test)
 
+    # Gaussian-head health stats (VERDICT r4 #1): the opacity/scale logits
+    # are the collapse channel — saturated-negative opacity (sigmoid ~= 0,
+    # dead gradient) renders all-white and freezes. A few scalars per step
+    # make the failure mode visible from the curve alone.
+    op = out.gaussians["opacity"].astype(jnp.float32)
+    sc = out.gaussians["scale"].astype(jnp.float32)
+    metrics.update(
+        opacity_logit_mean=jnp.mean(op),
+        opacity_logit_min=jnp.min(op),
+        opacity_logit_max=jnp.max(op),
+        opacity_act_mean=jnp.mean(jax.nn.sigmoid(op)),
+        scale_logit_mean=jnp.mean(sc),
+        scale_act_mean=jnp.mean(jnp.minimum(jnp.exp(sc - 3.9), 0.1)),
+    )
+
     loss_smplx = 0.0
     if out.pred_smpl_1 is not None:
         loss_smplx = loss_smplx + L.smplx_param_loss(out.pred_smpl_1,

@@ -1,0 +1,99 @@
+"""Probe: does model.apply's render differ inside value_and_grad?
+
+Diag r5 found: at identical init params, pure forward renders the body
+(l1 0.1508, cov 0.17) while the metrics logged from INSIDE the jitted
+value_and_grad step read l1 0.0768 at step 0 and exactly-all-white from
+step 1 on, with photometric grads apparently zero. This isolates where.
+
+Usage: python tools/grad_render_probe.py [--image-size 512]
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from overfit_bench import build_subject_batches, render_gt  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--image-size", type=int, default=512)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from audio_motion_avatar_tpu.models.avatar import TriplaneGaussianAvatar
+    from audio_motion_avatar_tpu.models.config import AvatarConfig
+    from audio_motion_avatar_tpu.models.ptv3 import build_point_refiner
+    from audio_motion_avatar_tpu.models.renderer import build_renderer_statics
+    from audio_motion_avatar_tpu.ops import smplx as smplx_ops
+    from audio_motion_avatar_tpu.parallel.mesh import unbox
+
+    sz = (args.image_size, args.image_size)
+    cfg = dataclasses.replace(AvatarConfig(), image_size=sz,
+                              compute_dtype="bfloat16")
+    smplx_model = smplx_ops.synthetic_model(seed=0)
+    statics = build_renderer_statics(smplx_model,
+                                     subdivide_steps=cfg.subdivide_steps,
+                                     densify=cfg.densify_smplx_verts)
+    nverts_enc = int(smplx_model.v_template.shape[0]) + \
+        int(np.asarray(smplx_model.faces).shape[0])
+    model = TriplaneGaussianAvatar(cfg=cfg, num_verts_encoder=nverts_enc,
+                                   point_refiner=build_point_refiner(cfg))
+
+    ref, test = build_subject_batches(smplx_model, sz)
+    ref.video = render_gt(smplx_model, ref, sz)
+    test.video = render_gt(smplx_model, test, sz)
+    jx = lambda b: jax.tree_util.tree_map(jnp.asarray, b)  # noqa: E731
+    ref, test = jx(ref), jx(test)
+
+    variables = model.init(jax.random.PRNGKey(0), statics, ref.video,
+                           ref.smpl_parms, ref.cam_parms)
+    params = unbox(variables)["params"]
+    ref_hwc = jnp.transpose(ref.video, (0, 1, 3, 4, 2))
+
+    def fwd(params):
+        out = model.apply({"params": params}, statics, ref.video,
+                          ref.smpl_parms, ref.cam_parms)
+        r32 = out.rendered_images.astype(jnp.float32)
+        l1 = jnp.mean(jnp.abs(r32 - ref_hwc))
+        cov = jnp.mean((jnp.min(r32, axis=-1) < 0.98))
+        op = out.gaussians["opacity"].astype(jnp.float32)
+        return l1, (cov, jnp.mean(op), r32)
+
+    pure = jax.jit(fwd)
+    l1_p, (cov_p, op_p, img_p) = pure(params)
+    print(f"[probe] pure     l1={float(l1_p):.5f} cov={float(cov_p):.4f} "
+          f"op_logit_mean={float(op_p):.4f}")
+
+    graded = jax.jit(lambda p: jax.value_and_grad(fwd, has_aux=True)(p))
+    (l1_g, (cov_g, op_g, img_g)), grads = graded(params)
+    print(f"[probe] in-grad  l1={float(l1_g):.5f} cov={float(cov_g):.4f} "
+          f"op_logit_mean={float(op_g):.4f}")
+
+    d = float(jnp.max(jnp.abs(img_p - img_g)))
+    print(f"[probe] max|img_pure - img_grad| = {d:.6f}")
+
+    # gradient magnitudes per head
+    import flax.traverse_util as tu
+    flat = tu.flatten_dict(grads, sep="/")
+    for k, v in sorted(flat.items()):
+        if any(s in k for s in ("opacity_layer", "shs_layer", "xyz_layer",
+                                "scaling_layer")):
+            print(f"[probe] |grad {k}| max={float(jnp.max(jnp.abs(v))):.3e} "
+                  f"norm={float(jnp.linalg.norm(v)):.3e}")
+    total = sum(float(jnp.sum(v * v)) for v in flat.values())
+    print(f"[probe] total grad norm = {np.sqrt(total):.3e}")
+
+
+if __name__ == "__main__":
+    main()
