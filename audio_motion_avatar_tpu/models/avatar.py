@@ -92,6 +92,7 @@ class TriplaneGaussianAvatar(nn.Module):
             image_width=c.image_size[1],
             flat_hand_mean=c.flat_hand_mean,
             max_per_tile=c.max_per_tile,
+            splat_mode=c.splat_mode,
             splat_segmented=c.splat_segmented,
             splat_max_window=c.splat_max_window,
             splat_large_cap=c.splat_large_cap,

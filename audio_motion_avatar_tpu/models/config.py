@@ -40,6 +40,10 @@ class AvatarConfig:
     rgb: bool = True
     sh_degree: int = 0  # SH degree for the rgb=False view-dependent branch
     max_per_tile: int = 512
+    # splat composite implementation: 'pallas' (composite_tiles kernel +
+    # custom-VJP backward kernel) | 'tiles' (pure-XLA twin) | 'naive'
+    # (gold reference, test sizes only). CPU always falls back to 'tiles'.
+    splat_mode: str = "pallas"
     # serving-only splat fast path: value-carrying-sort binning + the
     # segment-DMA Pallas composite (forward-only, no VJP — training keeps
     # the gather-packed composite_tiles with its custom backward kernel)

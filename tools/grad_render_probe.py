@@ -27,6 +27,10 @@ from overfit_bench import build_subject_batches, render_gt  # noqa: E402
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--image-size", type=int, default=512)
+    ap.add_argument("--splat-mode", default=None,
+                    help="override cfg.splat_mode (pallas|tiles|naive) to "
+                         "bisect whether the in-grad divergence needs the "
+                         "Pallas composite")
     args = ap.parse_args()
 
     import jax
@@ -39,8 +43,11 @@ def main():
     from audio_motion_avatar_tpu.parallel.mesh import unbox
 
     sz = (args.image_size, args.image_size)
+    over = {}
+    if args.splat_mode:
+        over["splat_mode"] = args.splat_mode
     cfg = dataclasses.replace(AvatarConfig(), image_size=sz,
-                              compute_dtype="bfloat16")
+                              compute_dtype="bfloat16", **over)
     smplx_model = smplx_ops.synthetic_model(seed=0)
     statics = build_renderer_statics(smplx_model,
                                      subdivide_steps=cfg.subdivide_steps,
@@ -70,29 +77,44 @@ def main():
         op = out.gaussians["opacity"].astype(jnp.float32)
         return l1, (cov, jnp.mean(op), r32)
 
+    gt_np = np.asarray(ref_hwc, np.float32)
+
     pure = jax.jit(fwd)
     l1_p, (cov_p, op_p, img_p) = pure(params)
+    img_p = np.asarray(img_p)
+    host_l1_p = float(np.mean(np.abs(img_p - gt_np)))
+    host_cov_p = float(np.mean(np.min(img_p, axis=-1) < 0.98))
     print(f"[probe] pure     l1={float(l1_p):.5f} cov={float(cov_p):.4f} "
-          f"op_logit_mean={float(op_p):.4f}")
+          f"op_logit_mean={float(op_p):.4f} "
+          f"HOST l1={host_l1_p:.5f} cov={host_cov_p:.4f}", flush=True)
 
-    graded = jax.jit(lambda p: jax.value_and_grad(fwd, has_aux=True)(p))
-    (l1_g, (cov_g, op_g, img_g)), grads = graded(params)
-    print(f"[probe] in-grad  l1={float(l1_g):.5f} cov={float(cov_g):.4f} "
-          f"op_logit_mean={float(op_g):.4f}")
-
-    d = float(jnp.max(jnp.abs(img_p - img_g)))
-    print(f"[probe] max|img_pure - img_grad| = {d:.6f}")
-
-    # gradient magnitudes per head
+    # memory-lean graded probe: grad norms reduced IN-jit (a full grad tree
+    # + params + pure outputs OOMed 16G at 512/256 full dims)
     import flax.traverse_util as tu
-    flat = tu.flatten_dict(grads, sep="/")
-    for k, v in sorted(flat.items()):
-        if any(s in k for s in ("opacity_layer", "shs_layer", "xyz_layer",
-                                "scaling_layer")):
-            print(f"[probe] |grad {k}| max={float(jnp.max(jnp.abs(v))):.3e} "
-                  f"norm={float(jnp.linalg.norm(v)):.3e}")
-    total = sum(float(jnp.sum(v * v)) for v in flat.values())
-    print(f"[probe] total grad norm = {np.sqrt(total):.3e}")
+
+    @jax.jit
+    def graded(p):
+        (l1, (cov, op, img)), grads = jax.value_and_grad(
+            fwd, has_aux=True)(p)
+        flat = tu.flatten_dict(grads, sep="/")
+        head_norms = {k: jnp.linalg.norm(v) for k, v in flat.items()
+                      if any(s in k for s in ("opacity_layer", "shs_layer",
+                                              "xyz_layer", "scaling_layer"))}
+        total = jnp.sqrt(sum(jnp.sum(v * v) for v in flat.values()))
+        return l1, cov, op, img, head_norms, total
+
+    l1_g, cov_g, op_g, img_g, head_norms, total = graded(params)
+    img_g_np = np.asarray(img_g)
+    host_l1_g = float(np.mean(np.abs(img_g_np - gt_np)))
+    print(f"[probe] in-grad  l1={float(l1_g):.5f} cov={float(cov_g):.4f} "
+          f"op_logit_mean={float(op_g):.4f} HOST l1={host_l1_g:.5f}",
+          flush=True)
+
+    d = float(jnp.max(jnp.abs(img_p - np.asarray(img_g))))
+    print(f"[probe] max|img_pure - img_grad| = {d:.6f}")
+    for k, v in sorted(head_norms.items()):
+        print(f"[probe] |grad {k}| norm={float(v):.3e}")
+    print(f"[probe] total grad norm = {float(total):.3e}")
 
 
 if __name__ == "__main__":
