@@ -19,6 +19,10 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           os.path.abspath(__file__))), ".jax_cache"))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from audio_motion_avatar_tpu.utils.jaxcache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()  # env var alone is too late (sitecustomize imports jax first)
+
 import numpy as np
 
 from overfit_bench import build_subject_batches, render_gt  # noqa: E402
@@ -31,6 +35,10 @@ def main():
                     help="override cfg.splat_mode (pallas|tiles|naive) to "
                          "bisect whether the in-grad divergence needs the "
                          "Pallas composite")
+    ap.add_argument("--no-remat", action="store_true",
+                    help="disable the renderer frame-scan nn.remat to "
+                         "bisect whether the in-grad divergence needs the "
+                         "remat recompute")
     args = ap.parse_args()
 
     import jax
@@ -46,6 +54,8 @@ def main():
     over = {}
     if args.splat_mode:
         over["splat_mode"] = args.splat_mode
+    if args.no_remat:
+        over["frames_scan_remat"] = False
     cfg = dataclasses.replace(AvatarConfig(), image_size=sz,
                               compute_dtype="bfloat16", **over)
     smplx_model = smplx_ops.synthetic_model(seed=0)

@@ -32,6 +32,10 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           os.path.abspath(__file__))), ".jax_cache"))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from audio_motion_avatar_tpu.utils.jaxcache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()  # env var alone is too late (sitecustomize imports jax first)
+
 import numpy as np
 
 
@@ -171,13 +175,19 @@ def main():
     render = stage1.make_render_fn(model, statics)
 
     def psnr(params):
+        # HOST-side metric computation: on this image's axon backend, large
+        # jit programs were caught computing reductions against closure
+        # arrays wrongly (r5, tools/grad_render_probe.py: pure-jit L1
+        # 0.13846 vs host truth 0.10061 on bit-identical images). Transfer
+        # the render and evaluate in numpy — PNGs and curve then can't lie.
         rendered, target = render(params, ref)
-        r32 = rendered.astype(jnp.float32)
-        mse = float(jnp.mean((r32 - target) ** 2))
+        r32 = np.asarray(rendered, np.float32)
+        t32 = np.asarray(target, np.float32)
+        mse = float(np.mean((r32 - t32) ** 2))
         # body coverage: fraction of non-white pixels — 0.0 flags the
         # all-white collapse mode immediately
-        cov = float(jnp.mean((jnp.min(r32, axis=-1) < 0.98)))
-        return 10.0 * np.log10(1.0 / max(mse, 1e-12)), rendered, cov
+        cov = float(np.mean(r32.min(axis=-1) < 0.98))
+        return 10.0 * np.log10(1.0 / max(mse, 1e-12)), r32, cov
 
     if args.dump_dir:
         os.makedirs(args.dump_dir, exist_ok=True)

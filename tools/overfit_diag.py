@@ -35,6 +35,10 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           os.path.abspath(__file__))), ".jax_cache"))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from audio_motion_avatar_tpu.utils.jaxcache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()  # env var alone is too late (sitecustomize imports jax first)
+
 import numpy as np
 
 from overfit_bench import build_subject_batches, render_gt  # noqa: E402

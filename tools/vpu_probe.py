@@ -25,6 +25,10 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           os.path.abspath(__file__))), ".jax_cache"))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from audio_motion_avatar_tpu.utils.jaxcache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()  # env var alone is too late (sitecustomize imports jax first)
+
 import numpy as np
 import jax
 import jax.numpy as jnp
