@@ -183,6 +183,7 @@ class Attention(nn.Module):
         if flash_ok:
             impl = {"splash": self._splash,
                     "serve": self._serve,
+                    "hpack": self._hpack,
                     "flash2": self._flash2}.get(self.flash_impl, self._flash)
             out = impl(q, k, v, scale)
         else:
@@ -261,6 +262,18 @@ class Attention(nn.Module):
                                  segment_ids=fa.SegmentIds(q=seg_q, kv=seg_kv),
                                  sm_scale=scale, block_sizes=bs)
         return out[:, :, :S]
+
+    @staticmethod
+    def _hpack(q, k, v, scale):
+        """Forward-only head-packed kernel (ops/hpack_attention.py): 2 heads
+        per grid step, interleaved in the k-chunk loop so one head's VPU
+        softmax overlaps the other's half-width (D=64) MXU dots."""
+        from ..ops.hpack_attention import hpack_attention
+
+        H = q.shape[1]
+        hpb = 2 if H % 2 == 0 else 1
+        return hpack_attention(q, k, v, scale=float(scale),
+                               heads_per_block=hpb).astype(q.dtype)
 
     @staticmethod
     def _serve(q, k, v, scale):

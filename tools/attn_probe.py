@@ -160,6 +160,19 @@ def splash_attn(block_q, block_kv, q, k, v):
     return out.transpose(0, 2, 1, 3)[:, :S]
 
 
+def hpack(block_q, block_k, hpb, q, k, v):
+    """Head-packed forward kernel (ops/hpack_attention.py): hpb heads per
+    grid step, heads interleaved inside the k-chunk loop so one head's VPU
+    softmax overlaps the other's half-width MXU dots."""
+    from audio_motion_avatar_tpu.ops.hpack_attention import hpack_attention
+    B, S, H, D = q.shape
+    out = hpack_attention(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                          v.transpose(0, 2, 1, 3), scale=D ** -0.5,
+                          block_q=block_q, block_k=block_k,
+                          heads_per_block=hpb)
+    return out.transpose(0, 2, 1, 3)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=1)
@@ -169,7 +182,40 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--exp2-only", action="store_true",
                     help="only the production pad plan, stock vs exp2 fork")
+    ap.add_argument("--hpack-only", action="store_true",
+                    help="stock flash baseline vs head-packed kernel sweep")
     a = ap.parse_args()
+
+    if a.hpack_only:
+        rng = np.random.RandomState(0)
+        shape = (a.batch, a.seq, a.heads, a.dim)
+        q = jnp.asarray(rng.randn(*shape), jnp.bfloat16)
+        k = jnp.asarray(rng.randn(*shape), jnp.bfloat16)
+        v = jnp.asarray(rng.randn(*shape), jnp.bfloat16)
+        Sp = ((a.seq + 127) // 128) * 128
+        bq0 = [b for b in range(1280, 127, -128) if Sp % b == 0][0]
+        ref = np.asarray(flash_seg(bq0, bq0, Sp, q, k, v), np.float32)
+        got = np.asarray(hpack(512, 1280, 2, q, k, v), np.float32)
+        print(json.dumps({"impl": "hpack_maxdiff",
+                          "maxdiff": float(np.abs(ref - got).max())}),
+              flush=True)
+        ms = time_fn(functools.partial(flash_seg, bq0, bq0, Sp), q, k, v,
+                     a.iters)
+        print(json.dumps({"impl": f"flashseg_q{bq0}_k{bq0}",
+                          "ms": round(ms, 3)}), flush=True)
+        for hpb in (1, 2, 4):
+            for bq in (256, 512, 640):
+                for bk in (640, 1280):
+                    try:
+                        ms = time_fn(functools.partial(hpack, bq, bk, hpb),
+                                     q, k, v, a.iters)
+                    except Exception as e:  # Mosaic may reject a config
+                        print(json.dumps({"impl": f"hpack_h{hpb}_q{bq}_k{bk}",
+                                          "error": str(e)[:120]}), flush=True)
+                        continue
+                    print(json.dumps({"impl": f"hpack_h{hpb}_q{bq}_k{bk}",
+                                      "ms": round(ms, 3)}), flush=True)
+        return
 
     rng = np.random.RandomState(0)
     shape = (a.batch, a.seq, a.heads, a.dim)
