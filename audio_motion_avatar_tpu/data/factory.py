@@ -28,6 +28,7 @@ class DatasetFactory:
                 with_audio=True,
                 audio_dim=int(ds_cfg.get("audio_feature_dim", 768)),
                 seed=0 if split == "train" else 10_000,
+                render_gt=bool(ds_cfg.get("render_gt", False)),
             )
         if dtype == "ThumanDataset":
             from .thuman import ThumanDataset

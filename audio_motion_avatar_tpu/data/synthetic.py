@@ -82,11 +82,46 @@ def make_batch(batch_size=1, num_frames=2, image_size=(64, 64), seed=0,
                       width=W, height=H, audio_features=audio)
 
 
+def render_gt_video(smplx_model, batch, image_size):
+    """Replace a batch's noise video with a FITTABLE splat-rendered target:
+    a fixed Gaussian body (verts posed from the batch's own SMPLX params,
+    smooth dark positional colors — far-from-white so visibility is
+    strictly loss-reducing, the round-4 collapse lesson) rendered from the
+    batch's own cameras. Returns (B, T, 3, H, W) float32."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import smplx as smplx_ops
+    from ..ops.splat import render_batch
+
+    H, W = image_size
+    B, T = batch.cam_parms["extrinsic"].shape[:2]
+    verts = smplx_ops.forward(
+        smplx_model, {k: jnp.asarray(v) for k, v in batch.smpl_parms.items()})
+    verts = verts.reshape(B, T, -1, 3)
+    N = verts.shape[2]
+    v0 = verts[0, 0]
+    colors = 0.32 + 0.28 * jnp.sin(v0 * jnp.asarray([9.0, 7.0, 11.0]) +
+                                   jnp.asarray([0.0, 2.1, 4.2]))
+    gaussians = {
+        "xyz": verts,
+        "rot": jnp.broadcast_to(jnp.asarray([1.0, 0, 0, 0]), (B, T, N, 4)),
+        # activate_scales: min(exp(s-3.9), 0.1); raw for ~2.5% of body size
+        "scale": jnp.full((B, T, N, 3), np.log(0.025) + 3.9),
+        "opacity": jnp.full((B, T, N), 4.0),
+        "color": jnp.broadcast_to(colors, (B, T, N, 3)),
+    }
+    imgs = render_batch(gaussians, jnp.asarray(batch.cam_parms["intrinsic"]),
+                        jnp.asarray(batch.cam_parms["extrinsic"]), W, H)
+    return np.transpose(np.asarray(imgs), (0, 1, 4, 2, 3)).astype(np.float32)
+
+
 class SyntheticDataset:
     """Iterable dataset yielding (ref_batch, target_batch, batch_id)."""
 
     def __init__(self, length=8, batch_size=1, ref_frames=2, target_frames=6,
-                 image_size=(64, 64), with_audio=False, audio_dim=768, seed=0):
+                 image_size=(64, 64), with_audio=False, audio_dim=768, seed=0,
+                 render_gt=False):
         self.length = length
         self.kw = dict(batch_size=batch_size, image_size=image_size)
         self.ref_frames = ref_frames
@@ -94,15 +129,32 @@ class SyntheticDataset:
         self.with_audio = with_audio
         self.audio_dim = audio_dim
         self.seed = seed
+        # render_gt: splat-render a reachable body target instead of noise
+        # video, so tiny-profile training is SEMANTIC (losses fall toward a
+        # renderable image, golden fixtures pin learned output). The body is
+        # a small synthetic SMPLX (400 verts) — a fit target only; the
+        # model's own body resolution is independent.
+        self.render_gt = bool(render_gt)
+        self._smplx = None
 
     def __len__(self):
         return self.length
+
+    def _gt(self, batch):
+        if self._smplx is None:
+            from ..ops import smplx as smplx_ops
+            self._smplx = smplx_ops.synthetic_model(seed=0, num_verts=400)
+        return render_gt_video(self._smplx, batch,
+                               self.kw["image_size"])
 
     def __getitem__(self, i):
         ref = make_batch(num_frames=self.ref_frames, seed=self.seed + i, **self.kw)
         tgt = make_batch(num_frames=self.target_frames, seed=self.seed + 1000 + i,
                          with_audio=self.with_audio, audio_dim=self.audio_dim,
                          **self.kw)
+        if self.render_gt:
+            ref.video = self._gt(ref)
+            tgt.video = self._gt(tgt)
         return ref, tgt, i
 
     def __iter__(self):

@@ -455,3 +455,22 @@ def test_mp3_decodes_via_ffmpeg(tmp_path, monkeypatch):
     wav, sr = load_audio(str(tmp_path / "clip.mp3"))
     assert sr == 16000 and wav.shape == (16000,)
     np.testing.assert_allclose(wav, 8192 / 32768.0)
+
+
+def test_synthetic_render_gt():
+    """dataset.render_gt=true replaces the noise video with a reachable
+    splat-rendered body target (white bg + dark body) — the semantic
+    tiny-profile fit target behind the golden-fixture recipe
+    (tools/make_tiny_ckpt.sh)."""
+    from audio_motion_avatar_tpu.data.synthetic import SyntheticDataset
+
+    ds = SyntheticDataset(length=1, image_size=(32, 32), with_audio=True,
+                          render_gt=True)
+    ref, tgt, _ = ds[0]
+    for v in (ref.video, tgt.video):
+        assert np.isfinite(v).all()
+        white = (v.min(axis=2) > 0.98).mean()   # white-bg fraction
+        assert 0.3 < white < 0.995, white        # body visible, bg white
+    # deterministic per index (golden gate reproducibility)
+    ref2, _, _ = ds[0]
+    np.testing.assert_array_equal(ref.video, ref2.video)

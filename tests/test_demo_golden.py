@@ -29,11 +29,27 @@ from parity_check import compare, run_ours  # noqa: E402
 
 GOLDEN = Path(__file__).parent / "fixtures" / "demo_golden"
 CONFIG = str(ROOT / "audio_motion_avatar_tpu" / "configs" / "config_tiny.yaml")
+# Trained tiny-profile checkpoint (VERDICT r4 #7): the golden frames are
+# rendered from CONVERGED weights (tiny stage-2 overfit via `main2 --mode
+# train` on the synthetic clip — tools/make_tiny_ckpt.sh), so the gate pins
+# semantic output, not random-init structure. Absent -> random-init golden
+# (back-compat while the fixture regenerates).
+CKPT = Path(__file__).parent / "fixtures" / "demo_tiny_ckpt"
+
+
+def _ckpt():
+    return str(CKPT) if CKPT.is_dir() else None
+
+
+def _base_overrides():
+    # with the trained fixture, drive the demo from the same rendered-body
+    # synthetic data it was trained on (semantic frames end to end)
+    return ["dataset.render_gt=true"] if CKPT.is_dir() else []
 
 
 def test_demo_frames_match_golden(tmp_path):
     out = str(tmp_path / "parity_ours")
-    run_ours(CONFIG, None, out, None)
+    run_ours(CONFIG, _ckpt(), out, None, overrides=_base_overrides())
     frames = Path(out) / "demo_outputs" / "frames"
     assert frames.is_dir() and any(frames.iterdir()), "demo produced no frames"
 
@@ -58,8 +74,8 @@ def test_demo_fused_chunks_matches_golden(tmp_path):
     if not GOLDEN.exists():
         pytest.skip("golden fixture missing")
     out = str(tmp_path / "parity_fused")
-    run_ours(CONFIG, None, out, None,
-             overrides=["model.demo_fuse_chunks=2"])
+    run_ours(CONFIG, _ckpt(), out, None,
+             overrides=_base_overrides() + ["model.demo_fuse_chunks=2"])
     frames = Path(out) / "demo_outputs" / "frames"
     assert frames.is_dir() and any(frames.iterdir())
     r = compare(str(frames), str(GOLDEN))
@@ -75,7 +91,8 @@ def test_demo_gelu_tanh_within_parity_budget(tmp_path):
     if not GOLDEN.exists():
         pytest.skip("golden fixture missing")
     out = str(tmp_path / "parity_gelu")
-    run_ours(CONFIG, None, out, None, overrides=["model.gelu_approx=true"])
+    run_ours(CONFIG, _ckpt(), out, None,
+             overrides=_base_overrides() + ["model.gelu_approx=true"])
     frames = Path(out) / "demo_outputs" / "frames"
     assert frames.is_dir() and any(frames.iterdir())
     r = compare(str(frames), str(GOLDEN))

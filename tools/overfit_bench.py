@@ -130,6 +130,10 @@ def main():
                          "init opacity head)")
     ap.add_argument("--dump-dir", default=None,
                     help="save GT + periodic renders as PNGs")
+    ap.add_argument("--save-params", default=None,
+                    help="pickle the params pytree here every 200 steps and "
+                         "at the end (feeds the golden-demo fixture, "
+                         "VERDICT r4 #7)")
     args = ap.parse_args()
 
     import jax
@@ -196,6 +200,23 @@ def main():
         Image.fromarray((np.clip(gt, 0, 1) * 255).astype(np.uint8)).save(
             os.path.join(args.dump_dir, "gt_ref.png"))
 
+    def save_params(params):
+        if not args.save_params:
+            return
+        import pickle
+        host = jax.tree_util.tree_map(lambda x: np.asarray(x), params)
+        tmp = args.save_params + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(host, f)
+        os.replace(tmp, args.save_params)
+
+    # per-term keys (VERDICT r4 weak #1: a single composite scalar hid
+    # WHICH term kept falling through the all-white collapse). These come
+    # from inside the value_and_grad jit — the side the round-5 probes
+    # showed agrees with the host-side truth on this backend.
+    TERMS = ("l1_train", "ssim_train", "l1_test", "ssim_test",
+             "smplx_param_loss", "opacity_logit_mean", "opacity_act_mean",
+             "scale_act_mean", "grad_norm")
     curve = []
     t_start = time.time()
     for s in range(args.steps):
@@ -203,15 +224,26 @@ def main():
         if s % args.eval_every == 0 or s == args.steps - 1:
             p, rendered, cov = psnr(state.params)
             loss = float(metrics["loss"])
-            curve.append({"step": s, "loss": round(loss, 5),
-                          "psnr": round(p, 3), "coverage": round(cov, 4)})
+            row = {"step": s, "loss": round(loss, 5),
+                   "psnr": round(p, 3), "coverage": round(cov, 4)}
+            row.update({k: round(float(metrics[k]), 5) for k in TERMS
+                        if k in metrics})
+            curve.append(row)
             print(f"[overfit] step {s:4d} loss={loss:.5f} psnr={p:.2f} "
-                  f"cov={cov:.3f} ({time.time() - t_start:.0f}s)")
+                  f"cov={cov:.3f} l1_ref={row.get('l1_train', -1):.4f} "
+                  f"l1_nov={row.get('l1_test', -1):.4f} "
+                  f"smplx={row.get('smplx_param_loss', -1):.4f} "
+                  f"op_act={row.get('opacity_act_mean', -1):.4f} "
+                  f"gnorm={row.get('grad_norm', -1):.2e} "
+                  f"({time.time() - t_start:.0f}s)", flush=True)
             if args.dump_dir and s % (args.eval_every * 5) == 0:
                 from PIL import Image
                 img = np.clip(np.asarray(rendered[0, 0]), 0, 1)
                 Image.fromarray((img * 255).astype(np.uint8)).save(
                     os.path.join(args.dump_dir, f"render_{s:05d}.png"))
+        if args.save_params and s and s % 200 == 0:
+            save_params(state.params)
+    save_params(state.params)
 
     print(json.dumps({"metric": "stage1_overfit_psnr",
                       "final_psnr": curve[-1]["psnr"],

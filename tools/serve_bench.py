@@ -202,7 +202,8 @@ def run_sweep(variants, batch=2, frames_per_chunk=6, reps=5,
               image_size=(512, 512), sparse=False, sparse_cap=384,
               sparse_tile=16, splat_segmented=True, upconv="poly",
               sample_slab=False, sparse_pen=False, sparse_pen_cap=128,
-              splat_window=4, trace_out=None):
+              splat_window=4, trace_out=None, fuse_chunks=1,
+              **cfg_overrides):
     """Bench several cfg variants in ONE process, initializing params once.
 
     `variants`: list of (name, {AvatarConfig field overrides}). Every
@@ -217,7 +218,8 @@ def run_sweep(variants, batch=2, frames_per_chunk=6, reps=5,
     rollout, params, args_, (B, T_out), ctx = build(
         batch, frames_per_chunk, "none", image_size, sparse, sparse_cap,
         sparse_tile, splat_segmented, upconv, sample_slab, sparse_pen,
-        sparse_pen_cap, splat_window, want_ctx=True)
+        sparse_pen_cap, splat_window, fuse_chunks, want_ctx=True,
+        **cfg_overrides)
     tri, smpl, aud, cam = args_
     make_rollout, base_cfg = ctx
 
