@@ -88,8 +88,13 @@ def stage1_loss(model, params, statics, ref_batch, test_batch, cfg):
     return loss, metrics
 
 
-def make_train_step(model, statics, cfg, with_test_views: bool = True):
-    """Build the jitted (state, ref, test) -> (state, metrics) step."""
+def make_train_step(model, statics, cfg, with_test_views: bool = True,
+                    donate: bool = True):
+    """Build the jitted (state, ref, test) -> (state, metrics) step.
+
+    `donate=False` keeps the input state buffers alive (no
+    input/output aliasing) — a correctness control for backends where
+    donated-buffer aliasing is suspect (round-5 axon investigation)."""
 
     def step(state: TrainState, ref_batch, test_batch):
         def loss_fn(params):
@@ -102,7 +107,7 @@ def make_train_step(model, statics, cfg, with_test_views: bool = True):
         metrics["grad_norm"] = optax_global_norm(grads)
         return new_state, metrics
 
-    return jax.jit(step, donate_argnums=(0,))
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
 def make_eval_step(model, statics, cfg):

@@ -130,6 +130,16 @@ def main():
                          "init opacity head)")
     ap.add_argument("--dump-dir", default=None,
                     help="save GT + periodic renders as PNGs")
+    ap.add_argument("--determinism-probe", type=int, default=0,
+                    help="N: render the init params N times, print pairwise "
+                         "max|diff| + per-render host PSNR/coverage, then "
+                         "exit. Round-5 probe: a zero-lr warmup step left "
+                         "params bit-identical (all in-grad metrics equal) "
+                         "yet the eval render moved 14.01->12.65 dB — "
+                         "large-program nondeterminism on the axon backend")
+    ap.add_argument("--no-donate", action="store_true",
+                    help="train step without donating the state buffers "
+                         "(axon aliasing-corruption control, round 5)")
     ap.add_argument("--save-params", default=None,
                     help="pickle the params pytree here every 200 steps and "
                          "at the end (feeds the golden-demo fixture, "
@@ -175,8 +185,26 @@ def main():
                                     total_steps=args.steps, grad_clip=1.0,
                                     warmup_steps=args.warmup))
     state = TrainState.create(params, tx)
-    step = stage1.make_train_step(model, statics, cfg)
+    step = stage1.make_train_step(model, statics, cfg,
+                                  donate=not args.no_donate)
     render = stage1.make_render_fn(model, statics)
+
+    def bad_leaves(params):
+        """Host-side non-finite scan of the small render-head subtrees —
+        corruption detector (round-5: white-render collapse with finite
+        in-jit stats points at a poisoned parameter branch)."""
+        bad = []
+        for name in ("renderer",):
+            sub = params.get(name)
+            if sub is None:
+                continue
+            flat = jax.tree_util.tree_flatten_with_path(sub)[0]
+            for path, leaf in flat:
+                a = np.asarray(leaf)
+                n = int((~np.isfinite(a)).sum())
+                if n:
+                    bad.append((name + jax.tree_util.keystr(path), n))
+        return bad
 
     def psnr(params):
         # HOST-side metric computation: on this image's axon backend, large
@@ -199,6 +227,29 @@ def main():
         gt = np.transpose(np.asarray(ref.video[0, 0]), (1, 2, 0))
         Image.fromarray((np.clip(gt, 0, 1) * 255).astype(np.uint8)).save(
             os.path.join(args.dump_dir, "gt_ref.png"))
+
+    if args.determinism_probe:
+        renders = []
+        for i in range(args.determinism_probe):
+            p, r32, cov = psnr(state.params)
+            renders.append(r32)
+            print(f"[determinism] render {i}: psnr={p:.3f} cov={cov:.4f}",
+                  flush=True)
+        base = renders[0]
+        for i, r in enumerate(renders[1:], 1):
+            d = float(np.abs(r - base).max())
+            print(f"[determinism] max|render_{i} - render_0| = {d:.6f}",
+                  flush=True)
+        # one zero-update train step (warmup lr=0 at count 0), then render
+        # again: params are bit-identical, so any render change is backend
+        # nondeterminism, not training
+        state2, m0 = step(state, ref, test)
+        p, r32, cov = psnr(state2.params)
+        d = float(np.abs(r32 - base).max())
+        print(f"[determinism] after zero-lr step: psnr={p:.3f} "
+              f"cov={cov:.4f} max|diff vs render_0|={d:.6f} "
+              f"loss={float(m0['loss']):.6f}", flush=True)
+        return
 
     def save_params(params):
         if not args.save_params:
@@ -234,8 +285,12 @@ def main():
                   f"l1_nov={row.get('l1_test', -1):.4f} "
                   f"smplx={row.get('smplx_param_loss', -1):.4f} "
                   f"op_act={row.get('opacity_act_mean', -1):.4f} "
+                  f"sc_act={row.get('scale_act_mean', -1):.5f} "
                   f"gnorm={row.get('grad_norm', -1):.2e} "
                   f"({time.time() - t_start:.0f}s)", flush=True)
+            bad = bad_leaves(state.params)
+            if bad:
+                print(f"[overfit] NON-FINITE params: {bad[:8]}", flush=True)
             if args.dump_dir and s % (args.eval_every * 5) == 0:
                 from PIL import Image
                 img = np.clip(np.asarray(rendered[0, 0]), 0, 1)
